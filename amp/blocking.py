@@ -1,0 +1,180 @@
+"""Stage 2 — multi-pass blocking: candidate-pair generation.
+
+The reference's candidate generation is ONE Postgres θ-join with an
+OR-of-equalities predicate (internal/matcher/match.sql:22-25) plus a
+binary-key equi-self-join (match.sql:33-43). Catalyst cannot execute an
+OR-join as anything but a nested-loop product, so the architecture here
+is the classic multi-pass rewrite: each pass emits (record_id,
+block_key) rows, passes are unioned, pairs are generated per key with
+``left_id < right_id``, and the union is deduplicated. Same pair set,
+all equi-joins (SURVEY.md §2.3 J1/J3, §4).
+
+Passes:
+  minhash — b bands × r rows MinHash over k-token shingles; the analog
+            of the reference's 10-bit anchor "binary key"
+            (internal/matcher/shared.go:79-101): a fixed-width
+            content-derived signature used as an equi-join key.
+            Computed entirely JVM-side (array_min over transform) —
+            no Python in this stage at all.
+  path    — (lang, path stem): the analog of the reference's exact
+            attribute blocks (state/city/zip/phone, match.sql:24-25).
+
+Skew handling (north_rule): exact-duplicate contents are already
+collapsed to representatives before blocking (normalize.representatives).
+Remaining hot keys are handled two ways, both explicit and counted:
+  * frequency cap  — blocks larger than ``max_block_size`` are dropped
+    from pair generation and surfaced in a metrics DataFrame (never
+    silent; standard ER practice).
+  * salted self-join — blocks above ``salt_block_size`` get their pair
+    generation split across ceil(m/salt) tasks via the
+    replicate-one-side trick, preserving the exact pair set.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .config import AmpConfig, DEFAULT_CONFIG
+from .normalize import shingles_expr
+
+_MERSENNE_P = (1 << 61) - 1
+
+
+def _minhash_coeffs(cfg: AmpConfig) -> tuple[list[int], list[int]]:
+    """Deterministic permutation coefficients h_j(x) = (a_j*x + b_j) mod p.
+
+    Coefficients are kept below 2^30 so a_j * (x + 2^31) + b_j stays
+    under 2^62 — Spark 4 runs ANSI mode by default and would throw on
+    bigint overflow."""
+    rng = np.random.RandomState(cfg.seed)
+    a = rng.randint(1, 1 << 30, size=cfg.minhash_perms, dtype=np.int64)
+    b = rng.randint(0, 1 << 30, size=cfg.minhash_perms, dtype=np.int64)
+    return a.tolist(), b.tolist()
+
+
+def minhash_signature_cols(cfg: AmpConfig = DEFAULT_CONFIG, shingle_col: str = "shingles"):
+    """One column per permutation, all built-in expressions (codegen'd):
+    min over shingles of (a*x+b) mod p. Shingle hashes are murmur3 int32
+    from ``hash``; lifted to non-negative bigint before the affine map."""
+    a, b = _minhash_coeffs(cfg)
+    cols = []
+    for j in range(cfg.minhash_perms):
+        cols.append(
+            F.expr(
+                f"array_min(transform({shingle_col}, "
+                f"x -> pmod({a[j]}L * (cast(x as bigint) + 2147483648L) + {b[j]}L, "
+                f"{_MERSENNE_P}L)))"
+            ).alias(f"mh_{j}")
+        )
+    return cols
+
+
+def minhash_signatures(reps: DataFrame, cfg: AmpConfig = DEFAULT_CONFIG) -> DataFrame:
+    """(record_id, sig array<bigint>) — the full MinHash signature.
+    Reused twice: band keys here, Jaccard estimation at scoring time
+    (mean of positional agreement), so the shingle arrays are never
+    carried past this stage."""
+    wide = reps.select(
+        "record_id",
+        shingles_expr(cfg.shingle_k).alias("shingles"),
+    ).select("record_id", *minhash_signature_cols(cfg))
+    return wide.select(
+        "record_id",
+        F.array(*[F.col(f"mh_{j}") for j in range(cfg.minhash_perms)]).alias("sig"),
+    )
+
+
+def minhash_blocks(sigs: DataFrame, cfg: AmpConfig = DEFAULT_CONFIG) -> DataFrame:
+    """(record_id, block_key) rows: one key per band. Band key = band
+    index + hash of its r signature values."""
+    r = cfg.minhash_rows_per_band
+    band_keys = []
+    for band in range(cfg.minhash_bands):
+        parts = [F.element_at("sig", band * r + i + 1) for i in range(r)]
+        band_keys.append(
+            F.concat_ws(":", F.lit(f"b{band}"), F.hash(*parts).cast("string"))
+        )
+    return (
+        sigs.select("record_id", F.array(*band_keys).alias("keys"))
+        .select("record_id", F.explode("keys").alias("block_key"))
+        .withColumn("pass_name", F.lit("minhash"))
+    )
+
+
+def path_blocks(reps: DataFrame) -> DataFrame:
+    """Exact-attribute pass: (lang, stem) — catches renames/edits that
+    keep the file name (reference analog: state/city equality blocks)."""
+    return reps.select(
+        "record_id",
+        F.concat_ws(":", F.lit("p"), F.col("lang"), F.col("stem")).alias("block_key"),
+    ).withColumn("pass_name", F.lit("path"))
+
+
+def all_blocks(
+    reps: DataFrame, sigs: DataFrame, cfg: AmpConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    return minhash_blocks(sigs, cfg).unionByName(path_blocks(reps))
+
+
+def block_stats(blocks: DataFrame) -> DataFrame:
+    """Per-key sizes — broadcast back for cap/salt decisions and kept
+    as a metrics table (never drop a block silently)."""
+    return blocks.groupBy("pass_name", "block_key").agg(
+        F.count("*").alias("block_size")
+    )
+
+
+def candidate_pairs(
+    blocks: DataFrame,
+    cfg: AmpConfig = DEFAULT_CONFIG,
+    stats: DataFrame | None = None,
+) -> DataFrame:
+    """Blocks -> distinct candidate pairs (left_id < right_id).
+
+    Pair generation is an equi-self-join per block key. Three size
+    regimes, chosen per key from broadcast block stats:
+      m <= salt_block_size      : plain equi-join (AQE handles residue)
+      salt < m <= max_block_size: salted — right side carries
+          salt = hash(id) mod s, left side is replicated s times with a
+          target_salt column, join on (key, target_salt = salt). The
+          shuffle key becomes (key, salt): a hot block's m^2/2 pair
+          outputs are computed by s tasks instead of one.
+      m > max_block_size        : dropped (counted in dropped_blocks()).
+    """
+    if stats is None:
+        stats = block_stats(blocks)
+    sized = blocks.join(
+        F.broadcast(stats.select("block_key", "block_size")), "block_key"
+    ).where(
+        (F.col("block_size") > 1) & (F.col("block_size") <= cfg.max_block_size)
+    )
+
+    s_expr = F.ceil(F.col("block_size") / F.lit(cfg.salt_block_size)).cast("int")
+    sized = sized.withColumn("n_salt", F.greatest(F.lit(1), s_expr)).withColumn(
+        "salt", F.pmod(F.hash("record_id"), F.col("n_salt"))
+    )
+
+    left = (
+        sized.withColumn("target_salt", F.explode(F.expr("sequence(0, n_salt - 1)")))
+        .select(
+            F.col("block_key"),
+            F.col("record_id").alias("left_id"),
+            F.col("target_salt"),
+        )
+    )
+    right = sized.select(
+        F.col("block_key"),
+        F.col("record_id").alias("right_id"),
+        F.col("salt").alias("target_salt"),
+    )
+    pairs = left.join(right, ["block_key", "target_salt"]).where(
+        F.col("left_id") < F.col("right_id")
+    )
+    return pairs.select("left_id", "right_id").dropDuplicates(["left_id", "right_id"])
+
+
+def dropped_blocks(stats: DataFrame, cfg: AmpConfig = DEFAULT_CONFIG) -> DataFrame:
+    """Metrics: keys excluded by the frequency cap, with sizes."""
+    return stats.where(F.col("block_size") > cfg.max_block_size)

@@ -1,0 +1,110 @@
+"""Per-stage checkpointing with a run manifest — the resumability layer.
+
+Mirrors the reference's feature tables: each pipeline stage in the
+reference is a full read-transform-write pass against a LIST-partitioned
+Postgres table keyed by run_id (scripts/init_db.sql:78-115), and re-runs
+first DELETE the run's partition (internal/matcher/shared.go:244-256) —
+i.e. idempotent partition overwrite. Here:
+
+  * every stage writes parquet partitioned by ``run_id`` with
+    mode("overwrite") + dynamic partition overwrite — same idempotency;
+  * a ``manifest`` table (the analog of the reference's ``runs`` table,
+    init_db.sql:117-121) records per-stage row counts + wall time;
+    per-partition row counts are recorded in a companion ``counters``
+    table (north_rule: "per-partition lineage and counters");
+  * resume: a stage whose manifest row exists is read back instead of
+    recomputed — kill the job after stage k, rerun, and stages 1..k are
+    served from the checkpoint (tested resume-equals-fresh).
+
+Iceberg is the intended catalog at production scale (snapshot ids would
+land in the manifest's ``snapshot`` column); the runtime jar is not in
+this sandbox, so the layout is partitioned parquet with an identical
+API — the swap is confined to this module.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class CheckpointManager:
+    def __init__(self, spark: SparkSession, root: str, run_id: int):
+        self.spark = spark
+        self.root = root
+        self.run_id = run_id
+        os.makedirs(os.path.join(root, "_manifest"), exist_ok=True)
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    # -- manifest ----------------------------------------------------------
+    def _manifest_path(self, stage: str) -> str:
+        return os.path.join(self.root, "_manifest", f"run{self.run_id}_{stage}.json")
+
+    def is_done(self, stage: str) -> bool:
+        return os.path.exists(self._manifest_path(stage))
+
+    def manifest(self) -> list[dict]:
+        out = []
+        d = os.path.join(self.root, "_manifest")
+        for f in sorted(os.listdir(d)):
+            with open(os.path.join(d, f)) as fh:
+                out.append(json.load(fh))
+        return out
+
+    # -- write / read ------------------------------------------------------
+    def table_path(self, stage: str) -> str:
+        return os.path.join(self.root, stage)
+
+    def write(self, df: DataFrame, stage: str, started_at: float | None = None) -> DataFrame:
+        """Checkpoint a stage: partitioned write + per-partition counters
+        + manifest row. Returns the re-read DataFrame so downstream
+        stages consume the materialized table (cuts lineage, exactly
+        like the reference's table-to-table passes)."""
+        t0 = started_at if started_at is not None else time.time()
+        path = self.table_path(stage)
+        if "run_id" not in df.columns:
+            df = df.withColumn("run_id", F.lit(self.run_id))
+        df.write.mode("overwrite").partitionBy("run_id").parquet(path)
+        back = self.spark.read.parquet(path).where(F.col("run_id") == self.run_id)
+
+        # per-partition lineage counters (north_rule)
+        counters = (
+            back.withColumn("partition_id", F.spark_partition_id())
+            .groupBy("partition_id")
+            .agg(F.count("*").alias("rows_out"))
+        )
+        cpath = os.path.join(self.root, "_counters", f"run{self.run_id}_{stage}")
+        counters.withColumn("stage", F.lit(stage)).withColumn(
+            "run_id", F.lit(self.run_id)
+        ).write.mode("overwrite").parquet(cpath)
+
+        rows = back.count()
+        with open(self._manifest_path(stage), "w") as fh:
+            json.dump(
+                {
+                    "run_id": self.run_id,
+                    "stage": stage,
+                    "rows": rows,
+                    "wall_sec": round(time.time() - t0, 3),
+                    "path": path,
+                    "snapshot": None,  # Iceberg snapshot id when on a real catalog
+                },
+                fh,
+            )
+        return back
+
+    def read(self, stage: str) -> DataFrame:
+        return self.spark.read.parquet(self.table_path(stage)).where(
+            F.col("run_id") == self.run_id
+        )
+
+    def stage(self, name: str, thunk) -> DataFrame:
+        """Run-or-resume: recompute only when no manifest row exists."""
+        if self.is_done(name):
+            return self.read(name)
+        t0 = time.time()
+        return self.write(thunk(), name, started_at=t0)

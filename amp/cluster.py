@@ -1,0 +1,128 @@
+"""Stage 6 — transitive closure: connected components via
+alternating large-star / small-star (Kiveris et al., "Connected
+Components in MapReduce and Beyond", SOCC 2014 — public algorithm).
+
+The reference stops at candidate *pairs* (its `/duplicates` endpoint
+self-matches run 0, pkg/api/handler.go:82-102); the north_rule extends
+pairs to entity clusters. Spark has no fixpoint operator, so the loop
+runs on the driver, each iteration a pair of shuffles, with
+``localCheckpoint`` every few iterations to cut lineage growth
+(SURVEY.md §7.4.3). Converges in O(log n) iterations; cluster ids are
+min-record-id so results are deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .config import AmpConfig, DEFAULT_CONFIG
+
+
+def _canon(edges: DataFrame) -> DataFrame:
+    return (
+        edges.select(F.col("left_id").alias("u"), F.col("right_id").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """For each node u: connect every strictly-larger neighbor to
+    min(Γ(u) ∪ {u})."""
+    sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    m = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+    return (
+        sym.join(m, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Orient edges high->low; connect every low neighbor (and the hub)
+    to the minimum."""
+    o = e.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    )
+    m = o.groupBy("u").agg(F.min("v").alias("m"))
+    joined = o.join(m, "u")
+    a = joined.select(F.col("v").alias("u"), F.col("m").alias("v"))
+    b = m.select(F.col("u"), F.col("m").alias("v"))
+    return a.unionByName(b).where(F.col("u") != F.col("v")).distinct()
+
+
+def _signature(e: DataFrame) -> tuple[int, int]:
+    row = e.agg(
+        F.count("*").alias("n"),
+        F.coalesce(
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")), F.lit(0)
+        ).alias("h"),
+    ).collect()[0]
+    return int(row["n"]), int(row["h"])
+
+
+def connected_components(
+    edges: DataFrame,
+    all_nodes: DataFrame | None = None,
+    cfg: AmpConfig = DEFAULT_CONFIG,
+) -> DataFrame:
+    """edges(left_id, right_id) -> (record_id, cluster_id).
+
+    cluster_id = min record_id of the component. ``all_nodes`` (one
+    column ``record_id``) adds singleton clusters for unmatched records.
+    """
+    # Eager materialization per iteration: each round adds ~4 shuffles of
+    # lineage, and _signature() is an action — without cutting lineage the
+    # k-th iteration would recompute the whole upstream pipeline k times.
+    e = _canon(edges).localCheckpoint(eager=True)
+    sig = _signature(e)
+    for _ in range(cfg.cc_max_iters):
+        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        new_sig = _signature(e)
+        if new_sig == sig:
+            break
+        sig = new_sig
+
+    roots = e.select(F.col("v").alias("record_id"), F.col("v").alias("cluster_id")).distinct()
+    members = e.select(F.col("u").alias("record_id"), F.col("v").alias("cluster_id"))
+    assign = members.unionByName(roots).groupBy("record_id").agg(
+        F.min("cluster_id").alias("cluster_id")
+    )
+    if all_nodes is not None:
+        assign = (
+            all_nodes.select("record_id")
+            .distinct()
+            .join(assign, "record_id", "left")
+            .withColumn("cluster_id", F.coalesce("cluster_id", F.col("record_id")))
+        )
+    return assign
+
+
+def pairwise_f1(clusters: DataFrame, labeled_pairs: DataFrame) -> dict:
+    """Evaluate cluster co-membership against labeled pairs
+    (BASELINE.json gate: F1 >= 0.99). Pure DataFrame ops."""
+    cl = clusters.select("record_id", "cluster_id")
+    l = labeled_pairs.join(
+        cl.withColumnRenamed("record_id", "left_id").withColumnRenamed(
+            "cluster_id", "l_cl"
+        ),
+        "left_id",
+    ).join(
+        cl.withColumnRenamed("record_id", "right_id").withColumnRenamed(
+            "cluster_id", "r_cl"
+        ),
+        "right_id",
+    )
+    agg = l.agg(
+        F.sum(((F.col("l_cl") == F.col("r_cl")) & F.col("is_match")).cast("long")).alias("tp"),
+        F.sum(((F.col("l_cl") == F.col("r_cl")) & ~F.col("is_match")).cast("long")).alias("fp"),
+        F.sum(((F.col("l_cl") != F.col("r_cl")) & F.col("is_match")).cast("long")).alias("fn"),
+    ).collect()[0]
+    tp, fp, fn = int(agg["tp"] or 0), int(agg["fp"] or 0), int(agg["fn"] or 0)
+    prec = tp / (tp + fp) if tp + fp else 1.0
+    rec = tp / (tp + fn) if tp + fn else 1.0
+    f1 = 2 * prec * rec / (prec + rec) if prec + rec else 0.0
+    return {"tp": tp, "fp": fp, "fn": fn, "precision": prec, "recall": rec, "f1": f1}

@@ -1,0 +1,141 @@
+"""Pipeline driver: normalize -> block -> feature -> score -> rank ->
+cluster, with optional per-stage checkpoint/resume.
+
+The DAG mirrors the reference's processAndMatch
+(pkg/api/handler.go:165-191): its four read-transform-write passes
+against Postgres feature tables become six lazy DataFrame stages, each
+checkpointable. ``spark-submit --py-files amp.zip amp/pipeline.py``
+is the cluster entry point.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import blocking, cluster, features, normalize, rank, scoring
+from .checkpoint import CheckpointManager
+from .config import AmpConfig, DEFAULT_CONFIG
+
+
+def run_pipeline(
+    spark: SparkSession,
+    files: DataFrame,
+    cfg: AmpConfig = DEFAULT_CONFIG,
+    run_id: int = 0,
+    checkpoint_root: str | None = None,
+) -> dict[str, DataFrame]:
+    """Returns every stage's DataFrame keyed by stage name."""
+    ck = CheckpointManager(spark, checkpoint_root, run_id) if checkpoint_root else None
+
+    def stage(name: str, thunk):
+        return ck.stage(name, thunk) if ck else thunk()
+
+    records = stage("records", lambda: normalize.normalize(files, cfg, run_id))
+    if ck is None:
+        records = records.cache()
+
+    reps = stage("reps", lambda: normalize.representatives(records))
+    if ck is None:
+        reps = reps.cache()
+    ex_edges = stage("exact_edges", lambda: normalize.exact_edges(records))
+
+    sigs = stage("sigs", lambda: blocking.minhash_signatures(reps, cfg))
+    if ck is None:
+        sigs = sigs.cache()
+    blocks = stage("blocks", lambda: blocking.all_blocks(reps, sigs, cfg))
+    stats = stage("block_stats", lambda: blocking.block_stats(blocks))
+    pairs = stage("pairs", lambda: blocking.candidate_pairs(blocks, cfg, stats))
+    if ck is None:
+        pairs = pairs.cache()
+
+    def _postings():
+        counts = features.term_counts(reps)
+        n_reps = reps.count()
+        idf = features.idf_dict(counts, n_reps, cfg)
+        return features.postings(counts, idf)
+
+    post = stage("postings", _postings)
+    ptf = stage("pair_tfidf", lambda: features.pair_tfidf(pairs, post))
+    embs = stage("embeddings", lambda: features.embeddings(reps, cfg))
+
+    sides = scoring.side_features(reps, sigs, embs)
+    scored = stage("scored", lambda: scoring.score_pairs(pairs, sides, ptf, cfg))
+    if ck is None:
+        scored = scored.cache()
+
+    # checkpointed stages come back with a run_id partition column —
+    # project both sides to the edge schema before the union
+    edges = stage(
+        "edges",
+        lambda: rank.threshold_edges(scored, cfg)
+        .select("left_id", "right_id", "pass_name")
+        .unionByName(ex_edges.select("left_id", "right_id", "pass_name")),
+    )
+    clusters = stage(
+        "clusters",
+        lambda: cluster.connected_components(
+            edges, all_nodes=records.select("record_id"), cfg=cfg
+        ),
+    )
+    return {
+        "records": records,
+        "reps": reps,
+        "exact_edges": ex_edges,
+        "sigs": sigs,
+        "blocks": blocks,
+        "block_stats": stats,
+        "pairs": pairs,
+        "postings": post,
+        "pair_tfidf": ptf,
+        "embeddings": embs,
+        "scored": scored,
+        "edges": edges,
+        "clusters": clusters,
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description="amp entity-resolution pipeline")
+    ap.add_argument("--input", required=False, help="parquet path of repo_files")
+    ap.add_argument("--gen", type=int, default=0, help="generate N base files instead")
+    ap.add_argument("--run-id", type=int, default=0)
+    ap.add_argument("--checkpoint-root", default=None)
+    ap.add_argument("--cpus", type=int, default=None)
+    args = ap.parse_args()
+
+    from .session import get_spark
+
+    spark = get_spark("amp-pipeline", cpus=args.cpus)
+    if args.gen:
+        from .datagen import gen_files
+
+        files = gen_files(spark, args.gen)
+    elif args.input:
+        files = spark.read.parquet(args.input)
+    else:
+        ap.error("one of --input or --gen is required")
+
+    t0 = time.time()
+    out = run_pipeline(
+        spark, files, run_id=args.run_id, checkpoint_root=args.checkpoint_root
+    )
+    n_clusters = out["clusters"].agg(F.countDistinct("cluster_id")).collect()[0][0]
+    n_records = out["clusters"].count()
+    print(
+        json.dumps(
+            {
+                "records": n_records,
+                "clusters": n_clusters,
+                "wall_sec": round(time.time() - t0, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,58 @@
+"""SparkSession factory tuned for this engine.
+
+Local-mode defaults mirror what we would set on a real cluster:
+AQE on (runtime re-plan + skew-join splitting), Arrow on (every UDF in
+this engine is a pandas/Arrow UDF), shuffle partitions sized to cores
+(on a cluster: ~2-3x total executor cores), UTC session timezone so
+results compare bit-for-bit against the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "amp",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession.
+
+    cpus=None -> local[*]. shuffle partitions default to the core count:
+    at local scale 200 partitions would mean ~200 tiny tasks per shuffle;
+    on a real cluster this knob is set per-deployment via spark-submit.
+    """
+    if cpus is None:
+        cpus_env = os.environ.get("SPARK_GRAFT_CPUS")
+        cpus = int(cpus_env) if cpus_env else None
+    master = f"local[{cpus}]" if cpus else "local[*]"
+    if shuffle_partitions is None:
+        shuffle_partitions = cpus if cpus else (os.cpu_count() or 8)
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.driver.memory", os.environ.get("AMP_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        # joins on blocking keys must never silently fall back to a
+        # nested-loop product; keep the broadcast threshold modest and
+        # let AQE upgrade when runtime stats allow
+        .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
