@@ -1,10 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)  — flagship: the full entity-resolution pipeline
+                (normalize -> multi-pass blocking -> tf-idf features ->
+                pair scoring -> connected components) on a deterministic
+                synthetic repo-files corpus; returns cluster summaries.
+queries()     — one entry per implemented operator (SURVEY.md §2 +
+                training-data ops), each (spark, sf_dir) -> DataFrame.
+oracle_sql()  — bit-matching DuckDB ANSI-SQL twins. Every computed
+                column is aliased identically on both sides, doubles are
+                rounded to 6 places on both sides.
 """
 
 from __future__ import annotations
@@ -12,27 +16,567 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from amp import ann, dedup, features, text
+from amp.text import BPE_ISH_RE, LANG_MARKERS, TOKEN_SPLIT_RE
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments (DuckDB)
+# ---------------------------------------------------------------------------
+
+_TOKS_CTE = (
+    "toks AS (SELECT doc_id, t.token FROM documents, "
+    "UNNEST(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), "
+    "x -> x <> '')) AS t(token))"
+)
+_DTOKS_CTE = "dtoks AS (SELECT DISTINCT doc_id, token FROM toks)"
+
+_BLOCK_PAIRS_SQL = """
+SELECT l.doc_id AS left_id, r.doc_id AS right_id
+FROM documents l JOIN documents r
+  ON l.lang = r.lang AND (l.n_chars // 100) = (r.n_chars // 100)
+ AND l.doc_id < r.doc_id
+UNION
+SELECT l.doc_id AS left_id, r.doc_id AS right_id
+FROM documents l JOIN documents r
+  ON l.lang = r.lang AND l.source = r.source AND l.doc_id < r.doc_id
+"""
+
+_SRC_PAIRS_SQL = """
+SELECT l.doc_id AS left_id, r.doc_id AS right_id
+FROM documents l JOIN documents r
+  ON l.lang = r.lang AND l.source = r.source AND l.doc_id < r.doc_id
+"""
+
+_TFIDF_CTES = f"""
+WITH {_TOKS_CTE},
+counts AS (SELECT doc_id, token, count(*) AS c FROM toks GROUP BY 1, 2),
+doclen AS (SELECT doc_id, sum(c) AS n FROM counts GROUP BY 1),
+dftbl AS (SELECT token, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+ndocs AS (SELECT count(*) AS n_docs FROM documents),
+post AS (
+  SELECT counts.doc_id, counts.token,
+         round((counts.c / doclen.n) * ln(ndocs.n_docs / dftbl.df), 6) AS tfidf
+  FROM counts JOIN doclen USING (doc_id) JOIN dftbl USING (token), ndocs
+)
+"""
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _block_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 rewrite: OR-of-equalities blocking as a union of equi-join
+    passes + distinct (never a nested-loop join)."""
+    d = _docs(spark, sf_dir)
+    l = d.select(
+        F.col("doc_id").alias("left_id"),
+        "lang",
+        "source",
+        F.floor(F.col("n_chars") / 100).alias("szb"),
+    )
+    r = d.select(
+        F.col("doc_id").alias("right_id"),
+        "lang",
+        "source",
+        F.floor(F.col("n_chars") / 100).alias("szb"),
+    )
+    pass_a = l.join(r, ["lang", "szb"]).where(F.col("left_id") < F.col("right_id"))
+    pass_b = l.join(r, ["lang", "source"]).where(F.col("left_id") < F.col("right_id"))
+    return (
+        pass_a.select("left_id", "right_id")
+        .unionByName(pass_b.select("left_id", "right_id"))
+        .distinct()
+    )
+
+
+def _src_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    l = d.select(F.col("doc_id").alias("left_id"), "lang", "source")
+    r = d.select(F.col("doc_id").alias("right_id"), "lang", "source")
+    return (
+        l.join(r, ["lang", "source"])
+        .where(F.col("left_id") < F.col("right_id"))
+        .select("left_id", "right_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# entry — flagship
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Full ER pipeline on a deterministic synthetic corpus (the
+    pipeline's own record shape per BASELINE.json input_hint), returning
+    per-cluster summaries. sf0.001-scale: ~170 records."""
+    from amp.datagen import gen_files
+    from amp.pipeline import run_pipeline
 
+    files = gen_files(spark, 120, partitions=8)
+    out = run_pipeline(spark, files)
+    return (
+        out["clusters"]
+        .groupBy("cluster_id")
+        .agg(F.count("*").alias("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(F.count("*").alias("n_clusters"))
+        .orderBy("cluster_size")
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries + oracles
+# ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # ---- P1/P2/F2: normalization projection ----
+    def q_normalize(spark, sf_dir):
+        d = _docs(spark, sf_dir)
+        return d.select(
+            "doc_id",
+            F.sha2(F.concat_ws(" ", text.tokens_col()), 256).alias("norm_sha"),
+            F.size(text.tokens_col()).alias("n_tokens"),
+            F.lower(F.substring("text", 1, 40)).alias("prefix40"),
+        )
+
+    q["normalize_project"] = q_normalize
+
+    # ---- J1: multi-pass blocking (union of equi-joins + distinct) ----
+    q["block_pairs_multipass"] = _block_pairs
+
+    # ---- A2-A4/F8-F9: tf-idf postings with broadcast idf ----
+    q["tfidf_postings"] = lambda spark, sf_dir: features.doc_tfidf(
+        _docs(spark, sf_dir)
+    )
+
+    # ---- A1/J4/F11: grouped tfidf dot product over candidate pairs ----
+    q["pair_tfidf_dot"] = lambda spark, sf_dir: features.doc_pair_dot(
+        _docs(spark, sf_dir), _src_pairs(spark, sf_dir)
+    )
+
+    # ---- W1: rank window over pair scores ----
+    def q_rank(spark, sf_dir):
+        from pyspark.sql import Window
+
+        dot = features.doc_pair_dot(_docs(spark, sf_dir), _src_pairs(spark, sf_dir))
+        w = Window.partitionBy("left_id").orderBy(
+            F.desc("tfidf_dot"), F.asc("right_id")
+        )
+        return dot.withColumn("rnk", F.rank().over(w))
+
+    q["rank_window"] = q_rank
+
+    # ---- W2/O2: per-group top-k ----
+    def q_topk(spark, sf_dir):
+        from pyspark.sql import Window
+
+        d = _docs(spark, sf_dir)
+        w = Window.partitionBy("lang").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+        return (
+            d.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= 5)
+            .select("lang", "doc_id", "n_chars", "rn")
+        )
+
+    q["topk_per_group"] = q_topk
+
+    # ---- P4 + O1: threshold filter + ordered limit ----
+    def q_threshold(spark, sf_dir):
+        dot = features.doc_pair_dot(_docs(spark, sf_dir), _src_pairs(spark, sf_dir))
+        return dot.where(F.col("tfidf_dot") >= 0.002).select(
+            "left_id", "right_id", "tfidf_dot"
+        )
+
+    q["threshold_filter"] = q_threshold
+
+    def q_order_limit(spark, sf_dir):
+        return (
+            _docs(spark, sf_dir)
+            .orderBy(F.desc("n_chars"), F.asc("doc_id"))
+            .limit(20)
+            .select("doc_id", "n_chars")
+        )
+
+    q["order_limit"] = q_order_limit
+
+    # ---- dedup: exact (hash-groupBy) ----
+    q["dedup_exact"] = lambda spark, sf_dir: dedup.exact_duplicates(
+        _docs(spark, sf_dir)
+    )
+
+    # ---- dedup: minhash LSH candidate pairs ----
+    q["dedup_minhash_lsh"] = lambda spark, sf_dir: dedup.minhash_lsh_pairs(
+        _docs(spark, sf_dir), bands=4
+    )
+
+    # ---- dedup: exact n-gram jaccard on blocked pairs ----
+    q["dedup_ngram_jaccard"] = lambda spark, sf_dir: dedup.ngram_jaccard(
+        _docs(spark, sf_dir), _src_pairs(spark, sf_dir)
+    )
+
+    # ---- dedup: simhash fingerprints ----
+    q["dedup_simhash"] = lambda spark, sf_dir: dedup.simhash(
+        _docs(spark, sf_dir), bits=16
+    )
+
+    # ---- dedup: embedding-cosine near-dup ----
+    q["dedup_embedding_cosine"] = lambda spark, sf_dir: dedup.embedding_near_dup(
+        _embs(spark, sf_dir), threshold=0.3
+    )
+
+    # ---- similarity search: brute-force cosine top-k ----
+    def q_ann(spark, sf_dir):
+        e = _embs(spark, sf_dir)
+        return ann.brute_force_topk(e, e.where(F.col("vec_id") < 10), k=5)
+
+    q["ann_bruteforce_topk"] = q_ann
+
+    # ---- similarity search: LSH-bucketed ANN (scale path) ----
+    def q_ann_lsh(spark, sf_dir):
+        e = _embs(spark, sf_dir)
+        return ann.lsh_topk(e, e.where(F.col("vec_id") < 10), k=5, bits=4)
+
+    q["ann_lsh_topk"] = q_ann_lsh
+
+    # ---- text: token counting ----
+    q["text_token_counts"] = lambda spark, sf_dir: text.token_counts(
+        _docs(spark, sf_dir)
+    )
+
+    # ---- text: quality scoring ----
+    q["text_quality"] = lambda spark, sf_dir: text.quality_score(
+        _docs(spark, sf_dir)
+    )
+
+    # ---- text: language id ----
+    q["text_lang_id"] = lambda spark, sf_dir: text.lang_id(_docs(spark, sf_dir))
+
+    # ---- text: fingerprinting ----
+    q["text_fingerprints"] = lambda spark, sf_dir: text.fingerprints(
+        _docs(spark, sf_dir)
+    )
+
+    # ---- core relational: groupBy-agg (TPC-H Q1 shape) ----
+    def q_agg(spark, sf_dir):
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        return (
+            li.groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+                F.round(
+                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+                ).alias("revenue"),
+                F.count("*").alias("n_rows"),
+            )
+            .orderBy("l_returnflag", "l_linestatus")
+        )
+
+    q["agg_lineitem"] = q_agg
+
+    # ---- core relational: broadcast join + agg ----
+    def q_join(spark, sf_dir):
+        c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        return (
+            o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count("*").alias("n_orders"),
+                F.round(F.sum("o_totalprice"), 4).alias("total_price"),
+            )
+        )
+
+    q["join_orders_customer"] = q_join
+
+    # ---- core relational: window over events ----
+    def q_events(spark, sf_dir):
+        from pyspark.sql import Window
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+        return (
+            ev.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= 3)
+            .select("user_id", "event_id", "event_type", F.round("value", 6).alias("value"), "rn")
+        )
+
+    q["window_events_topk"] = q_events
+
+    # ---- flagship (non-SQL: CC iteration + pandas UDFs) ----
+    def q_er(spark, sf_dir):
+        return entry(spark)
+
+    q["er_pipeline_clusters"] = q_er
+
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    o: dict[str, str] = {}
+
+    o["normalize_project"] = """
+SELECT doc_id,
+       sha256(array_to_string(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''), ' ')) AS norm_sha,
+       len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS n_tokens,
+       lower(substr(text, 1, 40)) AS prefix40
+FROM documents
+"""
+
+    o["block_pairs_multipass"] = _BLOCK_PAIRS_SQL
+
+    o["tfidf_postings"] = _TFIDF_CTES + "SELECT doc_id, token, tfidf FROM post"
+
+    o["pair_tfidf_dot"] = (
+        _TFIDF_CTES
+        + f""",
+pairs AS ({_SRC_PAIRS_SQL})
+SELECT p.left_id, p.right_id, round(sum(pl.tfidf * pr.tfidf), 6) AS tfidf_dot
+FROM pairs p
+JOIN post pl ON pl.doc_id = p.left_id
+JOIN post pr ON pr.doc_id = p.right_id AND pr.token = pl.token
+GROUP BY p.left_id, p.right_id
+"""
+    )
+
+    o["rank_window"] = (
+        _TFIDF_CTES
+        + f""",
+pairs AS ({_SRC_PAIRS_SQL}),
+dots AS (
+  SELECT p.left_id, p.right_id, round(sum(pl.tfidf * pr.tfidf), 6) AS tfidf_dot
+  FROM pairs p
+  JOIN post pl ON pl.doc_id = p.left_id
+  JOIN post pr ON pr.doc_id = p.right_id AND pr.token = pl.token
+  GROUP BY p.left_id, p.right_id
+)
+SELECT left_id, right_id, tfidf_dot,
+       rank() OVER (PARTITION BY left_id ORDER BY tfidf_dot DESC, right_id ASC) AS rnk
+FROM dots
+"""
+    )
+
+    o["topk_per_group"] = """
+SELECT lang, doc_id, n_chars, rn FROM (
+  SELECT lang, doc_id, n_chars,
+         row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC) AS rn
+  FROM documents
+) WHERE rn <= 5
+"""
+
+    o["threshold_filter"] = (
+        _TFIDF_CTES
+        + f""",
+pairs AS ({_SRC_PAIRS_SQL})
+SELECT p.left_id, p.right_id, round(sum(pl.tfidf * pr.tfidf), 6) AS tfidf_dot
+FROM pairs p
+JOIN post pl ON pl.doc_id = p.left_id
+JOIN post pr ON pr.doc_id = p.right_id AND pr.token = pl.token
+GROUP BY p.left_id, p.right_id
+HAVING round(sum(pl.tfidf * pr.tfidf), 6) >= 0.002
+"""
+    )
+
+    o["order_limit"] = (
+        "SELECT doc_id, n_chars FROM documents ORDER BY n_chars DESC, doc_id ASC LIMIT 20"
+    )
+
+    o["dedup_exact"] = f"""
+WITH {_TOKS_CTE},
+norm AS (
+  SELECT doc_id,
+         sha256(array_to_string(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''), ' ')) AS exact_fp
+  FROM documents
+)
+SELECT exact_fp, count(*) AS n_dups, min(doc_id) AS canonical_doc_id
+FROM norm GROUP BY exact_fp HAVING count(*) > 1
+"""
+
+    band_mins = ",\n".join(
+        f"min(md5('band{b}:' || shingle)) AS mh_{b}" for b in range(4)
+    )
+    band_union = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {b} AS band, mh_{b} AS band_key FROM mh" for b in range(4)
+    )
+    o["dedup_minhash_lsh"] = f"""
+WITH tl AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS l
+  FROM documents
+),
+shl AS (
+  SELECT doc_id,
+         CASE WHEN len(l) < 3 THEN [array_to_string(l, ' ')]
+              ELSE list_transform(range(len(l) - 2),
+                                  i -> l[i+1] || ' ' || l[i+2] || ' ' || l[i+3])
+         END AS shingles
+  FROM tl
+),
+dsh AS (SELECT DISTINCT doc_id, s.shingle
+        FROM shl, UNNEST(shingles) AS s(shingle)),
+mh AS (SELECT doc_id, {band_mins} FROM dsh GROUP BY doc_id),
+keys AS ({band_union})
+SELECT DISTINCT l.doc_id AS left_id, r.doc_id AS right_id
+FROM keys l JOIN keys r ON l.band = r.band AND l.band_key = r.band_key
+WHERE l.doc_id < r.doc_id
+"""
+
+    o["dedup_ngram_jaccard"] = f"""
+WITH {_TOKS_CTE}, {_DTOKS_CTE},
+sizes AS (SELECT doc_id, count(*) AS n_tok FROM dtoks GROUP BY doc_id),
+pairs AS ({_SRC_PAIRS_SQL}),
+inter AS (
+  SELECT p.left_id, p.right_id, count(*) AS n_inter
+  FROM pairs p
+  JOIN dtoks lt ON lt.doc_id = p.left_id
+  JOIN dtoks rt ON rt.doc_id = p.right_id AND rt.token = lt.token
+  GROUP BY p.left_id, p.right_id
+)
+SELECT i.left_id, i.right_id,
+       round(i.n_inter / (ls.n_tok + rs.n_tok - i.n_inter), 6) AS jaccard
+FROM inter i
+JOIN sizes ls ON ls.doc_id = i.left_id
+JOIN sizes rs ON rs.doc_id = i.right_id
+"""
+
+    votes = ",\n".join(
+        "sum(CASE WHEN ((strpos('0123456789abcdef', substr(md5(token), "
+        f"{j // 4 + 1}, 1)) - 1) >> {j % 4}) & 1 = 1 THEN 1 ELSE -1 END) AS v_{j}"
+        for j in range(16)
+    )
+    fp_sum = " + ".join(
+        f"(CASE WHEN v_{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(16)
+    )
+    o["dedup_simhash"] = f"""
+WITH {_TOKS_CTE}, {_DTOKS_CTE},
+votes AS (SELECT doc_id, {votes} FROM dtoks GROUP BY doc_id)
+SELECT doc_id, {fp_sum} AS simhash FROM votes
+"""
+
+    o["dedup_embedding_cosine"] = """
+SELECT l.vec_id AS left_id, r.vec_id AS right_id,
+       round(list_dot_product(l.embedding::DOUBLE[], r.embedding::DOUBLE[])
+             / (sqrt(list_dot_product(l.embedding::DOUBLE[], l.embedding::DOUBLE[]))
+                * sqrt(list_dot_product(r.embedding::DOUBLE[], r.embedding::DOUBLE[]))), 6) AS cosine
+FROM embeddings l, embeddings r
+WHERE l.vec_id < r.vec_id
+  AND round(list_dot_product(l.embedding::DOUBLE[], r.embedding::DOUBLE[])
+            / (sqrt(list_dot_product(l.embedding::DOUBLE[], l.embedding::DOUBLE[]))
+               * sqrt(list_dot_product(r.embedding::DOUBLE[], r.embedding::DOUBLE[]))), 6) >= 0.3
+"""
+
+    o["ann_bruteforce_topk"] = """
+WITH scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+         round(list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[])
+               / (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))), 6) AS cosine
+  FROM embeddings q, embeddings c
+  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id
+)
+SELECT query_id, corpus_id, cosine, rnk FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id ASC) AS rnk
+  FROM scored
+) WHERE rnk <= 5
+"""
+
+    # token counting — BPE-ish regex must match Spark's Java regex semantics
+    o["text_token_counts"] = f"""
+SELECT doc_id,
+       len(string_split_regex(trim(text), '\\s+')) AS ws_tokens,
+       len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS word_tokens,
+       len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS bpe_ish_tokens,
+       length(text) AS n_chars
+FROM documents
+"""
+
+    stop_hits_sql = " + ".join(
+        f"len(regexp_extract_all(lower(text), '\\b{w}\\b'))"
+        for w in LANG_MARKERS["en"]
+    )
+    o["text_quality"] = f"""
+WITH base AS (
+  SELECT doc_id,
+         length(text)::DOUBLE AS n_chars,
+         len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''))::DOUBLE AS n_tokens,
+         len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]'))::DOUBLE AS n_punct,
+         len(regexp_extract_all(text, '[0-9]'))::DOUBLE AS n_digit,
+         ({stop_hits_sql})::DOUBLE AS stop_hits
+  FROM documents
+)
+SELECT doc_id,
+       round(n_punct / greatest(n_chars, 1.0) + 1e-9, 6) AS punct_ratio,
+       round(stop_hits / greatest(n_tokens, 1.0) + 1e-9, 6) AS stop_ratio,
+       round(
+         least(n_tokens / 64.0, 1.0) * 0.35
+         + (1.0 - least(n_punct / greatest(n_chars, 1.0) * 4.0, 1.0)) * 0.25
+         + least(stop_hits / greatest(n_tokens, 1.0) * 5.0, 1.0) * 0.2
+         + (1.0 - least(n_digit / greatest(n_chars, 1.0) * 4.0, 1.0)) * 0.1
+         + CASE WHEN n_chars / greatest(n_tokens, 1.0) BETWEEN 3.0 AND 10.0 THEN 0.1 ELSE 0.0 END
+         + 1e-9,
+       6) AS quality
+FROM base
+"""
+
+    lang_hit_cols = ",\n".join(
+        "("
+        + " + ".join(
+            f"len(regexp_extract_all(lower(text), '\\b{w}\\b'))" for w in LANG_MARKERS[lang]
+        )
+        + f")::DOUBLE AS hits_{lang}"
+        for lang in sorted(LANG_MARKERS)
+    )
+    best = "greatest(" + ", ".join(f"hits_{l}" for l in sorted(LANG_MARKERS)) + ")"
+    pred_cases = " ".join(
+        f"WHEN hits_{l} = {best} THEN '{l}'" for l in sorted(LANG_MARKERS)
+    )
+    o["text_lang_id"] = f"""
+WITH h AS (SELECT doc_id, lang, {lang_hit_cols} FROM documents)
+SELECT doc_id, lang, {', '.join(f'hits_{l}' for l in sorted(LANG_MARKERS))},
+       CASE WHEN {best} <= 0 THEN 'und' {pred_cases} ELSE 'und' END AS pred_lang
+FROM h
+"""
+
+    o["text_fingerprints"] = f"""
+WITH {_TOKS_CTE}
+SELECT d.doc_id,
+       sha256(array_to_string(list_filter(string_split_regex(lower(d.text), '[^a-z0-9]+'), x -> x <> ''), ' ')) AS exact_fp,
+       (SELECT min(md5(t.token)) FROM toks t WHERE t.doc_id = d.doc_id) AS minhash_fp
+FROM documents d
+"""
+
+    o["agg_lineitem"] = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 4) AS sum_qty,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       count(*) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+    o["join_orders_customer"] = """
+SELECT c_mktsegment, count(*) AS n_orders, round(sum(o_totalprice), 4) AS total_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+    o["window_events_topk"] = """
+SELECT user_id, event_id, event_type, round(value, 6) AS value, rn FROM (
+  SELECT user_id, event_id, event_type, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS rn
+  FROM events
+) WHERE rn <= 3
+"""
+
+    # er_pipeline_clusters / ann_lsh_topk: no oracle —
+    #   er: driver-side CC fixpoint + pandas UDFs (non-SQL-expressible)
+    #   ann_lsh: approximate by construction (bucket recall < 1)
+    return o

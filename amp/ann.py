@@ -1,0 +1,126 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+Two paths:
+  brute_force_topk — exact cosine top-k: query x corpus join + window.
+                     Correct baseline; O(q·n) dot products, fine when
+                     the query side is small or broadcastable.
+  lsh_topk         — random-hyperplane LSH: sign-bit bucket per vector,
+                     candidates restricted to (multi-probe) bucket
+                     matches, then exact cosine + top-k. The scale path:
+                     the corpus-side shuffle key is the bucket, so work
+                     per query is ~n / 2^bits instead of n.
+
+Dot products run JVM-side (zip_with + aggregate) — no Python in the
+hot path. Hyperplanes are seeded constants folded into the plan.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _as_double(vec_col: str):
+    return F.transform(F.col(vec_col), lambda x: x.cast("double"))
+
+
+def _dot(l: str, r: str):
+    return F.expr(
+        f"aggregate(zip_with({l}, {r}, (x, y) -> x * y), 0.0D, (a, v) -> a + v)"
+    )
+
+
+def _norm(c: str):
+    return F.sqrt(F.expr(f"aggregate({c}, 0.0D, (a, x) -> a + x * x)"))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector (self-matches
+    excluded). Broadcast the query side — at scale the corpus streams
+    once and never shuffles."""
+    c = corpus.select(
+        F.col(id_col).alias("corpus_id"), _as_double(vec_col).alias("cv")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")
+    )
+    scored = (
+        c.join(F.broadcast(q))
+        .where(F.col("query_id") != F.col("corpus_id"))
+        .withColumn(
+            "cosine", F.round(_dot("qv", "cv") / (_norm("qv") * _norm("cv")), 6)
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("corpus_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("query_id", "corpus_id", "cosine", "rnk")
+    )
+
+
+def _hyperplanes(dim: int, bits: int, seed: int = 42) -> list[list[float]]:
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((bits, dim)).round(6).tolist()
+
+
+def bucket_expr(vec_col: str, planes: list[list[float]]):
+    """Sign-bit bucket id: bit j = 1 iff dot(v, plane_j) > 0. Each
+    hyperplane is a literal array folded into the plan (broadcast of a
+    frequency-dictionary-sized constant)."""
+    bucket = F.lit(0)
+    for j, p in enumerate(planes):
+        arr = F.array(*[F.lit(float(x)) for x in p])
+        dot = F.expr(
+            f"aggregate(zip_with({vec_col}, array({','.join(str(float(x)) for x in p)}), "
+            f"(x, y) -> x * y), 0.0D, (a, v) -> a + v)"
+        )
+        bucket = bucket + F.when(dot > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return bucket
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    bits: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Bucketed ANN: join only within matching hyperplane-sign buckets.
+    Recall < 1 by construction (approximate); raise `bits` for speed,
+    lower for recall, or multi-probe by unioning neighbor buckets."""
+    first = corpus.select(vec_col).first()
+    dim = len(first[0])
+    planes = _hyperplanes(dim, bits, seed)
+
+    c = corpus.select(
+        F.col(id_col).alias("corpus_id"), _as_double(vec_col).alias("cv")
+    ).withColumn("bucket", bucket_expr("cv", planes))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")
+    ).withColumn("bucket", bucket_expr("qv", planes))
+
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .where(F.col("query_id") != F.col("corpus_id"))
+        .withColumn(
+            "cosine", F.round(_dot("qv", "cv") / (_norm("qv") * _norm("cv")), 6)
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("corpus_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("query_id", "corpus_id", "cosine", "rnk")
+    )

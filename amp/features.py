@@ -119,6 +119,50 @@ def pair_tfidf(pairs: DataFrame, post: DataFrame, field: str = "content") -> Dat
     )
 
 
+def doc_tfidf(docs: DataFrame) -> DataFrame:
+    """TF-IDF postings over a documents(doc_id, text) table — the
+    oracle-facing twin of postings(): tf = count/len, idf = ln(N/df)
+    unsmoothed (reference make_tf_idf.go:66-72)."""
+    from .text import tokens_col
+
+    toks = docs.select("doc_id", F.explode(tokens_col()).alias("token"))
+    counts = toks.groupBy("doc_id", "token").agg(F.count("*").alias("c"))
+    doclen = counts.groupBy("doc_id").agg(F.sum("c").alias("n"))
+    df_tbl = toks.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.count()
+    return (
+        counts.join(doclen, "doc_id")
+        .join(F.broadcast(df_tbl), "token")
+        .select(
+            "doc_id",
+            "token",
+            F.round(
+                (F.col("c") / F.col("n"))
+                * F.log(F.lit(float(n_docs)) / F.col("df")),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+
+
+def doc_pair_dot(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Grouped SUM of tfidf products over shared tokens of each pair
+    (match.sql:65-75 shape, over the documents table)."""
+    post = doc_tfidf(docs)
+    pl = post.select(
+        F.col("doc_id").alias("left_id"), "token", F.col("tfidf").alias("lt")
+    )
+    pr = post.select(
+        F.col("doc_id").alias("right_id"), "token", F.col("tfidf").alias("rt")
+    )
+    return (
+        pairs.join(pl, "left_id")
+        .join(pr, ["right_id", "token"])
+        .groupBy("left_id", "right_id")
+        .agg(F.round(F.sum(F.col("lt") * F.col("rt")), 6).alias("tfidf_dot"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # hashing-trick embeddings
 # ---------------------------------------------------------------------------

@@ -1,0 +1,134 @@
+"""Text analysis operators for large-scale training-data pipelines.
+
+All four operators (language-ID, quality scoring, token counting,
+fingerprinting) are pure built-in-function column pipelines — they scan
+once, stay inside whole-stage codegen, and are embarrassingly parallel,
+so they hold at any scale (no shuffle except explicit aggregations).
+
+Each has an exact ANSI-SQL twin in __spark_entry__.oracle_sql().
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_SPLIT_RE = "[^a-z0-9]+"
+# BPE-ish word/number/punct segmentation (public GPT-2-style shape):
+# runs of letters, runs of digits, or single non-space symbols
+BPE_ISH_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+# tiny per-language marker vocabularies for the n-gram/stopword heuristic
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "die", "und", "ist", "nicht"],
+    "es": ["el", "la", "que", "de", "es"],
+    "fr": ["le", "la", "et", "les", "des"],
+}
+
+
+def tokens_col(text_col: str = "text"):
+    """Whitespace/punct tokenization shared by every operator —
+    identical semantics to the DuckDB oracle's
+    list_filter(string_split_regex(lower(t), re), x -> x <> '')."""
+    return F.filter(
+        F.split(F.lower(F.col(text_col)), TOKEN_SPLIT_RE), lambda x: x != ""
+    )
+
+
+def token_counts(docs: DataFrame) -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish regex segments."""
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), "\\s+")).alias("ws_tokens"),
+        F.size(tokens_col()).alias("word_tokens"),
+        F.regexp_count(F.col("text"), F.lit(BPE_ISH_RE)).alias("bpe_ish_tokens"),
+        F.length("text").alias("n_chars"),
+    )
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Quality scoring: length/punctuation/stopword/digit ratios folded
+    into one [0,1] score. The exact weights are a heuristic; what
+    matters for the engine is the shape: single-scan column math."""
+    n_chars = F.length("text").cast("double")
+    n_tokens = F.size(tokens_col()).cast("double")
+    punct_ratio = F.regexp_count(F.col("text"), F.lit("[^a-zA-Z0-9\\s]")).cast(
+        "double"
+    ) / F.greatest(n_chars, F.lit(1.0))
+    digit_ratio = F.regexp_count(F.col("text"), F.lit("[0-9]")).cast(
+        "double"
+    ) / F.greatest(n_chars, F.lit(1.0))
+    stop_hits = sum(
+        (
+            F.regexp_count(
+                F.lower(F.col("text")), F.lit(f"\\b{w}\\b")
+            ).cast("double")
+            for w in LANG_MARKERS["en"]
+        ),
+        F.lit(0.0),
+    )
+    stop_ratio = stop_hits / F.greatest(n_tokens, F.lit(1.0))
+    mean_tok_len = n_chars / F.greatest(n_tokens, F.lit(1.0))
+    score = (
+        F.least(n_tokens / F.lit(64.0), F.lit(1.0)) * 0.35
+        + (F.lit(1.0) - F.least(punct_ratio * F.lit(4.0), F.lit(1.0))) * 0.25
+        + F.least(stop_ratio * F.lit(5.0), F.lit(1.0)) * 0.2
+        + (F.lit(1.0) - F.least(digit_ratio * F.lit(4.0), F.lit(1.0))) * 0.1
+        + F.when((mean_tok_len >= 3.0) & (mean_tok_len <= 10.0), 0.1).otherwise(0.0)
+    )
+    # +1e-9 before rounding: the weight lattice (multiples of 0.05) lands
+    # quality exactly on .xxxxx5 boundaries, where Spark (decimal-string
+    # HALF_UP) and DuckDB (binary-double) round differently
+    eps = F.lit(1e-9)
+    return docs.select(
+        "doc_id",
+        F.round(punct_ratio + eps, 6).alias("punct_ratio"),
+        F.round(stop_ratio + eps, 6).alias("stop_ratio"),
+        F.round(score + eps, 6).alias("quality"),
+    )
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Language-ID heuristic: count per-language marker-word hits and
+    take the argmax (ties -> 'und' ordering by language code). A
+    real-corpus version swaps markers for char-n-gram profiles; the
+    operator shape (scan + column math, no shuffle) is identical."""
+    hit_cols = {}
+    for lang, words in LANG_MARKERS.items():
+        hits = sum(
+            (
+                F.regexp_count(F.lower(F.col("text")), F.lit(f"\\b{w}\\b")).cast(
+                    "double"
+                )
+                for w in words
+            ),
+            F.lit(0.0),
+        )
+        hit_cols[lang] = hits
+    best = F.greatest(*hit_cols.values())
+    pred = F.when(best <= 0, F.lit("und"))
+    for lang in sorted(LANG_MARKERS):  # deterministic tie-break: first max in order
+        pred = pred.when(hit_cols[lang] == best, F.lit(lang))
+    return docs.select(
+        "doc_id",
+        "lang",
+        *[hit_cols[lang].alias(f"hits_{lang}") for lang in sorted(LANG_MARKERS)],
+        pred.otherwise(F.lit("und")).alias("pred_lang"),
+    )
+
+
+def fingerprints(docs: DataFrame) -> DataFrame:
+    """Document fingerprinting:
+    exact_fp   — sha256 of the token-normalized text (whitespace/punct-
+                 insensitive exact dedup key);
+    minhash_fp — lexicographic-min md5 over distinct tokens (1-perm
+                 MinHash; near-dup key). Both engine and oracle use md5
+                 so the comparison is bit-exact."""
+    norm = F.concat_ws(" ", tokens_col())
+    toks = tokens_col()
+    return docs.select(
+        "doc_id",
+        F.sha2(norm, 256).alias("exact_fp"),
+        F.array_min(F.transform(toks, lambda t: F.md5(t))).alias("minhash_fp"),
+    )
