@@ -310,6 +310,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["window_events_topk"] = q_events
 
+    # ---- incremental: query-batch vs index top-k (reference §3.1 shape) ----
+    def q_match(spark, sf_dir):
+        from pyspark.sql import Window
+
+        d = _docs(spark, sf_dir)
+        post = features.doc_tfidf(d)
+        q = d.where(F.col("doc_id") >= 450).select(
+            F.col("doc_id").alias("left_id"), "lang", "source"
+        )
+        idx = d.where(F.col("doc_id") < 450).select(
+            F.col("doc_id").alias("right_id"), "lang", "source"
+        )
+        pairs = q.join(idx, ["lang", "source"]).select("left_id", "right_id")
+        pl = post.select(F.col("doc_id").alias("left_id"), "token", F.col("tfidf").alias("lt"))
+        pr = post.select(F.col("doc_id").alias("right_id"), "token", F.col("tfidf").alias("rt"))
+        dots = (
+            pairs.join(pl, "left_id")
+            .join(pr, ["right_id", "token"])
+            .groupBy("left_id", "right_id")
+            .agg(F.round(F.sum(F.col("lt") * F.col("rt")), 6).alias("tfidf_dot"))
+        )
+        w = Window.partitionBy("left_id").orderBy(F.desc("tfidf_dot"), F.asc("right_id"))
+        return (
+            dots.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= 3)
+            .select("left_id", "right_id", "tfidf_dot", "rn")
+        )
+
+    q["match_query_vs_index_topk"] = q_match
+
+    # ---- dedup: simhash near-pairs (bucket + hamming) ----
+    q["dedup_simhash_pairs"] = lambda spark, sf_dir: dedup.simhash_near_pairs(
+        _docs(spark, sf_dir), bits=16, max_hamming=3
+    )
+
     # ---- flagship (non-SQL: CC iteration + pandas UDFs) ----
     def q_er(spark, sf_dir):
         return entry(spark)
@@ -574,6 +609,40 @@ SELECT user_id, event_id, event_type, round(value, 6) AS value, rn FROM (
          row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS rn
   FROM events
 ) WHERE rn <= 3
+"""
+
+    o["match_query_vs_index_topk"] = (
+        _TFIDF_CTES
+        + """,
+pairs AS (
+  SELECT q.doc_id AS left_id, i.doc_id AS right_id
+  FROM documents q JOIN documents i
+    ON q.lang = i.lang AND q.source = i.source
+  WHERE q.doc_id >= 450 AND i.doc_id < 450
+),
+dots AS (
+  SELECT p.left_id, p.right_id, round(sum(pl.tfidf * pr.tfidf), 6) AS tfidf_dot
+  FROM pairs p
+  JOIN post pl ON pl.doc_id = p.left_id
+  JOIN post pr ON pr.doc_id = p.right_id AND pr.token = pl.token
+  GROUP BY p.left_id, p.right_id
+)
+SELECT left_id, right_id, tfidf_dot, rn FROM (
+  SELECT *, row_number() OVER (PARTITION BY left_id ORDER BY tfidf_dot DESC, right_id ASC) AS rn
+  FROM dots
+) WHERE rn <= 3
+"""
+    )
+
+    o["dedup_simhash_pairs"] = f"""
+WITH {_TOKS_CTE}, {_DTOKS_CTE},
+votes AS (SELECT doc_id, {votes} FROM dtoks GROUP BY doc_id),
+fps AS (SELECT doc_id, {fp_sum} AS simhash FROM votes),
+keyed AS (SELECT doc_id, simhash, simhash >> 8 AS bucket FROM fps)
+SELECT l.doc_id AS left_id, r.doc_id AS right_id,
+       bit_count(xor(l.simhash, r.simhash)) AS hamming
+FROM keyed l JOIN keyed r ON l.bucket = r.bucket AND l.doc_id < r.doc_id
+WHERE bit_count(xor(l.simhash, r.simhash)) <= 3
 """
 
     # er_pipeline_clusters / ann_lsh_topk: no oracle —

@@ -47,15 +47,15 @@ def brute_force_topk(
     once and never shuffles."""
     c = corpus.select(
         F.col(id_col).alias("corpus_id"), _as_double(vec_col).alias("cv")
-    )
+    ).withColumn("cn", _norm("cv"))
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")
-    )
+    ).withColumn("qn", _norm("qv"))
     scored = (
         c.join(F.broadcast(q))
         .where(F.col("query_id") != F.col("corpus_id"))
         .withColumn(
-            "cosine", F.round(_dot("qv", "cv") / (_norm("qv") * _norm("cv")), 6)
+            "cosine", F.round(_dot("qv", "cv") / (F.col("qn") * F.col("cn")), 6)
         )
     )
     w = Window.partitionBy("query_id").orderBy(

@@ -72,10 +72,49 @@ def minhash_signature_cols(cfg: AmpConfig = DEFAULT_CONFIG, shingle_col: str = "
 
 
 def minhash_signatures(reps: DataFrame, cfg: AmpConfig = DEFAULT_CONFIG) -> DataFrame:
-    """(record_id, sig array<bigint>) — the full MinHash signature.
-    Reused twice: band keys here, Jaccard estimation at scoring time
-    (mean of positional agreement), so the shingle arrays are never
-    carried past this stage."""
+    """(record_id, sig array<bigint>) — the full MinHash signature,
+    computed in one Arrow-batched mapInPandas pass (crc32 shingle hash +
+    numpy affine permutations). Reused twice: band keys here, Jaccard
+    estimation at scoring (mean positional agreement), so shingle sets
+    are never carried past this stage. A JVM-expression variant
+    (minhash_signatures_jvm) exists; the pandas kernel is the default
+    for the same reason as normalize() — string-heavy JVM work
+    anti-scales across local threads, Python worker processes don't."""
+    import zlib
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    a, b = _minhash_coeffs(cfg)
+    a_arr = np.array(a, dtype=np.int64)[:, None]
+    b_arr = np.array(b, dtype=np.int64)[:, None]
+    k = cfg.shingle_k
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            sigs = []
+            for text in pdf["norm_text"]:
+                toks = text.split() if text else []
+                if len(toks) < k:
+                    shingles = [" ".join(toks)]
+                else:
+                    shingles = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+                h = np.fromiter(
+                    (zlib.crc32(s.encode()) for s in set(shingles)),
+                    dtype=np.int64,
+                )
+                sig = ((a_arr * h[None, :] + b_arr) % _MERSENNE_P).min(axis=1)
+                sigs.append(sig)
+            yield pd.DataFrame({"record_id": pdf["record_id"], "sig": sigs})
+
+    return reps.select("record_id", "norm_text").mapInPandas(
+        fn, "record_id string, sig array<long>"
+    )
+
+
+def minhash_signatures_jvm(reps: DataFrame, cfg: AmpConfig = DEFAULT_CONFIG) -> DataFrame:
+    """Built-in-expression twin (murmur3 shingle hash instead of crc32 —
+    signatures differ numerically but are an equally valid MinHash)."""
     wide = reps.select(
         "record_id",
         shingles_expr(cfg.shingle_k).alias("shingles"),
@@ -87,15 +126,16 @@ def minhash_signatures(reps: DataFrame, cfg: AmpConfig = DEFAULT_CONFIG) -> Data
 
 
 def minhash_blocks(sigs: DataFrame, cfg: AmpConfig = DEFAULT_CONFIG) -> DataFrame:
-    """(record_id, block_key) rows: one key per band. Band key = band
-    index + hash of its r signature values."""
+    """(record_id, block_key) rows: one key per band. Band key =
+    xxhash64(band index, its r signature values) — an int64, so every
+    downstream shuffle/join on blocking keys moves fixed-width ints,
+    never strings (explicit-repartition-on-blocking-keys is the
+    north_rule; int keys make that repartition cheap)."""
     r = cfg.minhash_rows_per_band
     band_keys = []
     for band in range(cfg.minhash_bands):
         parts = [F.element_at("sig", band * r + i + 1) for i in range(r)]
-        band_keys.append(
-            F.concat_ws(":", F.lit(f"b{band}"), F.hash(*parts).cast("string"))
-        )
+        band_keys.append(F.xxhash64(F.lit(band), *parts))
     return (
         sigs.select("record_id", F.array(*band_keys).alias("keys"))
         .select("record_id", F.explode("keys").alias("block_key"))
@@ -108,7 +148,7 @@ def path_blocks(reps: DataFrame) -> DataFrame:
     keep the file name (reference analog: state/city equality blocks)."""
     return reps.select(
         "record_id",
-        F.concat_ws(":", F.lit("p"), F.col("lang"), F.col("stem")).alias("block_key"),
+        F.xxhash64(F.lit("p"), F.col("lang"), F.col("stem")).alias("block_key"),
     ).withColumn("pass_name", F.lit("path"))
 
 
@@ -145,8 +185,11 @@ def candidate_pairs(
     """
     if stats is None:
         stats = block_stats(blocks)
+    # NB: stats is block-count-sized (can be millions of keys) — never
+    # force-broadcast it; the shuffle join on the int64 block_key is
+    # cheap and AQE will still broadcast when runtime stats are small
     sized = blocks.join(
-        F.broadcast(stats.select("block_key", "block_size")), "block_key"
+        stats.select("block_key", "block_size"), "block_key"
     ).where(
         (F.col("block_size") > 1) & (F.col("block_size") <= cfg.max_block_size)
     )

@@ -64,6 +64,40 @@ def _signature(e: DataFrame) -> tuple[int, int]:
     return int(row["n"]), int(row["h"])
 
 
+def _driver_union_find(e: DataFrame) -> DataFrame:
+    """Small-graph fast path: collect edges (Arrow) and run union-find
+    with path compression on the driver. Same output contract as the
+    distributed loop (cluster_id = min member id)."""
+    import pandas as pd
+
+    pdf = e.toPandas()
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    nodes = set()
+    for u, v in zip(pdf["u"], pdf["v"]):
+        nodes.add(u)
+        nodes.add(v)
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            lo, hi = (ru, rv) if ru < rv else (rv, ru)
+            parent[hi] = lo  # min-id root -> deterministic cluster ids
+    rows = sorted((x, find(x)) for x in nodes)
+    spark = e.sparkSession
+    if not rows:
+        return spark.createDataFrame([], "record_id string, cluster_id string")
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["record_id", "cluster_id"])
+    )
+
+
 def connected_components(
     edges: DataFrame,
     all_nodes: DataFrame | None = None,
@@ -73,11 +107,32 @@ def connected_components(
 
     cluster_id = min record_id of the component. ``all_nodes`` (one
     column ``record_id``) adds singleton clusters for unmatched records.
+
+    Size-adaptive: at or below ``cfg.cc_driver_cutoff`` edges the
+    transitive closure runs as driver-side union-find (a request-scoped
+    match graph is tiny; 15+ shuffle stages on it is pure overhead);
+    above it, the alternating large-star/small-star loop — the only
+    shape that survives 10^12-file match graphs — takes over. Both
+    paths produce identical assignments (asserted in tests).
     """
+    e0 = _canon(edges)
+    if cfg.cc_driver_cutoff > 0 and e0.count() <= cfg.cc_driver_cutoff:
+        assign = _driver_union_find(e0)
+        if all_nodes is not None:
+            assign = (
+                all_nodes.select("record_id")
+                .distinct()
+                .join(assign, "record_id", "left")
+                .withColumn(
+                    "cluster_id", F.coalesce("cluster_id", F.col("record_id"))
+                )
+            )
+        return assign
+
     # Eager materialization per iteration: each round adds ~4 shuffles of
     # lineage, and _signature() is an action — without cutting lineage the
     # k-th iteration would recompute the whole upstream pipeline k times.
-    e = _canon(edges).localCheckpoint(eager=True)
+    e = e0.localCheckpoint(eager=True)
     sig = _signature(e)
     for _ in range(cfg.cc_max_iters):
         e = _small_star(_large_star(e)).localCheckpoint(eager=True)

@@ -27,6 +27,10 @@ class AmpConfig:
     idf_smoothing: bool = False     # reference parity: idf = ln(N/df), unsmoothed
                                     # (reference make_tf_idf.go:66-72)
     emb_dim: int = 64               # hashing-trick embedding dimension
+    broadcast_idf: bool = True      # True: IDF dict broadcast into a one-pass
+                                    # feature kernel (vocab fits driver);
+                                    # False: distributed postings-join scoring
+                                    # (open-vocabulary scale path)
 
     # ---- scoring ----
     # weights mirror the shape of the reference composite score
@@ -45,6 +49,9 @@ class AmpConfig:
     # ---- clustering ----
     cc_max_iters: int = 20
     cc_checkpoint_every: int = 3
+    cc_driver_cutoff: int = 5_000_000  # <= this many edges: driver union-find;
+                                       # above: distributed large/small-star.
+                                       # 0 disables the driver path entirely.
 
     # ---- misc ----
     seed: int = 42

@@ -72,8 +72,8 @@ def _commit(i: int, variant: str, seed: int) -> str:
 
 
 def _record_id(repo: str, path: str, commit: str) -> str:
-    """Must equal Spark's sha2(concat_ws(US, repo, path, commit), 256)."""
-    return hashlib.sha256(_US.join((repo, path, commit)).encode()).hexdigest()
+    """Must equal amp.normalize.record_id_expr (128-bit sha256 prefix)."""
+    return hashlib.sha256(_US.join((repo, path, commit)).encode()).hexdigest()[:32]
 
 
 def _base_body(i: int, seed: int) -> list[str]:

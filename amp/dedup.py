@@ -184,18 +184,19 @@ def embedding_near_dup(
     d = embs.select(
         F.col(id_col).alias("id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    ).withColumn(
+        # norms once per record, not once per pair (n vs n^2 aggregates)
+        "n", F.sqrt(F.expr("aggregate(v, 0.0D, (a, x) -> a + x * x)"))
     )
-    l = d.select(F.col("id").alias("left_id"), F.col("v").alias("lv"))
-    r = d.select(F.col("id").alias("right_id"), F.col("v").alias("rv"))
+    l = d.select(F.col("id").alias("left_id"), F.col("v").alias("lv"), F.col("n").alias("ln"))
+    r = d.select(F.col("id").alias("right_id"), F.col("v").alias("rv"), F.col("n").alias("rn"))
     dot = F.expr(
         "aggregate(zip_with(lv, rv, (x, y) -> x * y), 0.0D, (a, v) -> a + v)"
     )
-    nl = F.sqrt(F.expr("aggregate(lv, 0.0D, (a, x) -> a + x * x)"))
-    nr = F.sqrt(F.expr("aggregate(rv, 0.0D, (a, x) -> a + x * x)"))
     return (
         l.crossJoin(r)
         .where(F.col("left_id") < F.col("right_id"))
-        .withColumn("cosine", F.round(dot / (nl * nr), 6))
+        .withColumn("cosine", F.round(dot / (F.col("ln") * F.col("rn")), 6))
         .where(F.col("cosine") >= threshold)
         .select("left_id", "right_id", "cosine")
     )

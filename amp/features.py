@@ -38,37 +38,77 @@ from .config import AmpConfig, DEFAULT_CONFIG
 
 
 def term_counts(reps: DataFrame) -> DataFrame:
-    """(record_id, field, token, cnt, n_doc_tokens) — exploded postings.
+    """(record_id, field, token, cnt, n_doc_tokens) — per-record term
+    counts, already aggregated.
 
     fields: 'content' = code token unigrams; 'path' = char trigrams of
     the basename (reference: trigrams over name/street,
-    make_tf_idf.go:53-63)."""
-    content = (
-        reps.select("record_id", F.explode("tokens").alias("token"))
-        .withColumn("field", F.lit("content"))
+    make_tf_idf.go:53-63).
+
+    Computed with collections.Counter inside one mapInPandas pass —
+    the per-record aggregation needs NO shuffle at all (the reference's
+    goroutine TF fan-out, make_tf_idf.go:229-286, collapses into this),
+    versus explode + groupBy which would shuffle every token occurrence
+    (~100x more rows than the counted output)."""
+    from collections import Counter
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    import zlib
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rid, fld, tok, th, cnt, ndoc = [], [], [], [], [], []
+            for record_id, text, base in zip(
+                pdf["record_id"], pdf["norm_text"], pdf["basename"]
+            ):
+                toks = text.split() if text else []
+                c = Counter(toks)
+                n = len(toks)
+                for t, k in c.items():
+                    rid.append(record_id); fld.append("content")
+                    tok.append(t); th.append(zlib.crc32(b"c:" + t.encode()))
+                    cnt.append(k); ndoc.append(n)
+                tris = (
+                    [base]
+                    if len(base) < 3
+                    else [base[i : i + 3] for i in range(len(base) - 2)]
+                )
+                c = Counter(tris)
+                n = len(tris)
+                for t, k in c.items():
+                    rid.append(record_id); fld.append("path")
+                    tok.append(t); th.append(zlib.crc32(b"p:" + t.encode()))
+                    cnt.append(k); ndoc.append(n)
+            yield pd.DataFrame(
+                {
+                    "record_id": rid,
+                    "field": fld,
+                    "token": tok,
+                    "token_hash": pd.array(th, dtype="int64"),
+                    "cnt": pd.array(cnt, dtype="int64"),
+                    "n_doc_tokens": pd.array(ndoc, dtype="int64"),
+                }
+            )
+
+    return reps.select("record_id", "norm_text", "basename").mapInPandas(
+        fn,
+        "record_id string, field string, token string, token_hash long, "
+        "cnt long, n_doc_tokens long",
     )
-    # char trigrams of basename, JVM-side: substrings via sequence/transform
-    path = (
-        reps.select(
-            "record_id",
-            F.expr(
-                "explode(CASE WHEN length(basename) < 3 THEN array(basename) "
-                "ELSE transform(sequence(1, length(basename) - 2), "
-                "i -> substring(basename, i, 3)) END)"
-            ).alias("token"),
-        )
-        .withColumn("field", F.lit("path"))
-    )
-    toks = content.unionByName(path)
-    counts = toks.groupBy("record_id", "field", "token").agg(F.count("*").alias("cnt"))
-    doc_len = counts.groupBy("record_id", "field").agg(F.sum("cnt").alias("n_doc_tokens"))
-    return counts.join(doc_len, ["record_id", "field"])
 
 
 def idf_dict(counts: DataFrame, n_docs: int, cfg: AmpConfig = DEFAULT_CONFIG) -> DataFrame:
-    """df = docs containing token (per field); idf = ln(N/df) unsmoothed."""
-    df_tbl = counts.groupBy("field", "token").agg(
-        F.countDistinct("record_id").alias("df")
+    """df = docs containing token (per field); idf = ln(N/df) unsmoothed.
+
+    Keyed by int64 token_hash, not the token string: every downstream
+    shuffle/agg/join on the vocabulary goes through fixed-width ints
+    (string keys measurably anti-scale the JVM hash agg on this
+    hardware, and are strictly more bytes at any scale). The hash is
+    field-salted crc32, computed once at term_counts time."""
+    df_tbl = counts.groupBy("field", "token_hash").agg(
+        F.count("*").alias("df")  # counts are pre-aggregated per record
     )
     denom = (F.col("df") + F.lit(1)) if cfg.idf_smoothing else F.col("df")
     return df_tbl.withColumn(
@@ -77,45 +117,125 @@ def idf_dict(counts: DataFrame, n_docs: int, cfg: AmpConfig = DEFAULT_CONFIG) ->
 
 
 def postings(counts: DataFrame, idf: DataFrame) -> DataFrame:
-    """(record_id, field, token, tf, tfidf, norm) — norm is the
-    per-(record, field) L2 norm of the tfidf vector, carried on every
-    posting so cosine needs no extra join at scoring time."""
-    from pyspark.sql import Window
+    """(record_id, field, token, token_hash, tf, tfidf) — weighted
+    postings.
 
-    p = (
-        counts.join(F.broadcast(idf), ["field", "token"], "left")
+    Norms are NOT carried per posting: a window over (record_id, field)
+    would sort-shuffle the full postings table (measured: the single
+    most expensive stage). record_norms() aggregates them into a
+    record-sized side table instead (partial map-side agg, then a join
+    against the much smaller pair set)."""
+    return (
+        counts.join(F.broadcast(idf), ["field", "token_hash"], "left")
         .withColumn("tf", F.col("cnt") / F.col("n_doc_tokens"))
         .withColumn("tfidf", F.col("tf") * F.coalesce(F.col("idf"), F.lit(0.0)))
-        .select("record_id", "field", "token", "tf", "tfidf")
+        .select("record_id", "field", "token", "token_hash", "tf", "tfidf")
     )
-    w = Window.partitionBy("record_id", "field")
-    return p.withColumn("norm", F.sqrt(F.sum(F.col("tfidf") * F.col("tfidf")).over(w)))
+
+
+def df_partials(reps: DataFrame) -> DataFrame:
+    """(token_hash, df) partial document frequencies, pre-aggregated PER
+    PARTITION inside the Python kernel. The shuffle then moves
+    ~vocab-per-partition rows instead of one row per (record, token)
+    occurrence (measured: the per-record layout shuffles 20M+ rows at
+    280k records and dominated the 4-executor profile). Same math as a
+    map-side combine, but the rows never materialize JVM-side at all."""
+    import zlib
+    from collections.abc import Iterator
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc: dict[int, int] = {}
+        for pdf in batches:
+            for text, base in zip(pdf["norm_text"], pdf["basename"]):
+                toks = set(text.split()) if text else set()
+                for t in toks:
+                    h = zlib.crc32(b"c:" + t.encode())
+                    acc[h] = acc.get(h, 0) + 1
+                tris = (
+                    {base}
+                    if len(base) < 3
+                    else {base[i : i + 3] for i in range(len(base) - 2)}
+                )
+                for t in tris:
+                    h = zlib.crc32(b"p:" + t.encode())
+                    acc[h] = acc.get(h, 0) + 1
+        yield pd.DataFrame(
+            {
+                "token_hash": pd.array(list(acc.keys()), dtype="int64"),
+                "df": pd.array(list(acc.values()), dtype="int64"),
+            }
+        )
+
+    return reps.select("norm_text", "basename").mapInPandas(
+        fn, "token_hash long, df long"
+    )
+
+
+def idf_map(reps: DataFrame, n_docs: int, cfg: AmpConfig = DEFAULT_CONFIG) -> dict[int, float]:
+    """Collect the IDF dictionary to the driver as {field-salted
+    token_hash: idf} for broadcast into the one-pass feature kernel —
+    the north_rule's 'broadcast of frequency dictionaries', and exactly
+    what the reference does (IDF map held in Go memory,
+    make_tf_idf.go:66-72,253-255). Valid while the vocabulary fits on
+    the driver (vocab is corpus-content-bounded, not row-bounded); for
+    open-web-scale vocabularies flip AmpConfig.broadcast_idf=False to
+    use the distributed postings-join path (pair_tfidf)."""
+    denom = (F.col("df") + F.lit(1)) if cfg.idf_smoothing else F.col("df")
+    pdf = (
+        df_partials(reps)
+        .groupBy("token_hash")
+        .agg(F.sum("df").alias("df"))
+        .withColumn("idf", F.log(F.lit(float(n_docs)) / denom.cast("double")))
+        .select("token_hash", "idf")
+        .toPandas()
+    )
+    # Arrow-path toPandas: a row-by-row .collect() of a million-token
+    # vocabulary serializes through py4j and dominates the whole
+    # pipeline wall (measured 29-54s vs ~2s via Arrow)
+    return dict(zip(pdf["token_hash"].astype("int64"), pdf["idf"].astype("float64")))
+
+
+def record_norms(post: DataFrame) -> DataFrame:
+    """Per-(record, field) L2 norm of the tfidf vector — record-sized."""
+    return post.groupBy("record_id", "field").agg(
+        F.sqrt(F.sum(F.col("tfidf") * F.col("tfidf"))).alias("norm")
+    )
 
 
 def pair_tfidf(pairs: DataFrame, post: DataFrame, field: str = "content") -> DataFrame:
     """A1 / J4 (match.sql:65-75): grouped SUM of tfidf products over the
     shared tokens of each candidate pair, via two equi-joins through the
     postings table. Emits both the reference's unnormalized dot and the
-    normalized cosine."""
+    normalized cosine (norms joined from the record-sized norms table,
+    never carried per posting)."""
+    norms = record_norms(post.where(F.col("field") == field))
     pl = post.where(F.col("field") == field).select(
         F.col("record_id").alias("left_id"),
-        F.col("token"),
+        F.col("token_hash"),
         F.col("tfidf").alias("l_tfidf"),
-        F.col("norm").alias("l_norm"),
     )
     pr = post.where(F.col("field") == field).select(
         F.col("record_id").alias("right_id"),
-        F.col("token"),
+        F.col("token_hash"),
         F.col("tfidf").alias("r_tfidf"),
-        F.col("norm").alias("r_norm"),
     )
-    joined = pairs.join(pl, "left_id").join(pr, ["right_id", "token"])
-    return joined.groupBy("left_id", "right_id").agg(
-        F.sum(F.col("l_tfidf") * F.col("r_tfidf")).alias("tfidf_dot"),
-        (
-            F.sum(F.col("l_tfidf") * F.col("r_tfidf"))
-            / (F.first("l_norm") * F.first("r_norm"))
-        ).alias("tfidf_cosine"),
+    joined = pairs.join(pl, "left_id").join(pr, ["right_id", "token_hash"])
+    dots = joined.groupBy("left_id", "right_id").agg(
+        F.sum(F.col("l_tfidf") * F.col("r_tfidf")).alias("tfidf_dot")
+    )
+    nl = norms.select(F.col("record_id").alias("left_id"), F.col("norm").alias("l_norm"))
+    nr = norms.select(F.col("record_id").alias("right_id"), F.col("norm").alias("r_norm"))
+    return (
+        dots.join(nl, "left_id")
+        .join(nr, "right_id")
+        .select(
+            "left_id",
+            "right_id",
+            "tfidf_dot",
+            (F.col("tfidf_dot") / (F.col("l_norm") * F.col("r_norm"))).alias(
+                "tfidf_cosine"
+            ),
+        )
     )
 
 
@@ -171,8 +291,9 @@ def _embed_batchfn(dim: int):
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = np.zeros((len(pdf), dim), dtype=np.float32)
-            for i, toks in enumerate(pdf["tokens"]):
-                if toks is None or len(toks) == 0:
+            for i, text in enumerate(pdf["norm_text"]):
+                toks = text.split() if text else []
+                if not toks:
                     continue
                 v = np.zeros(dim, dtype=np.float32)
                 for t in toks:
@@ -200,6 +321,6 @@ def embeddings(reps: DataFrame, cfg: AmpConfig = DEFAULT_CONFIG) -> DataFrame:
             T.StructField("embedding", T.ArrayType(T.FloatType())),
         ]
     )
-    return reps.select("record_id", "tokens").mapInPandas(
+    return reps.select("record_id", "norm_text").mapInPandas(
         _embed_batchfn(cfg.emb_dim), schema=schema
     )

@@ -1,0 +1,101 @@
+"""Incremental matching — the reference's run-oriented query lifecycle.
+
+The reference keeps run_id = 0 as the indexed candidate space and
+matches each request batch (run_id > 0) against it (match.sql:30-31,
+pkg/api/handler.go:104-163):
+  * single match  (POST /api/v1/match, JSON)      -> match_records(batch of 1)
+  * batch match   (POST /api/v1/match, CSV)       -> match_records(batch)
+  * dedup         (POST /api/v1/duplicates)       -> the self-match in
+    amp.pipeline.run_pipeline (run 0 vs itself + transitive clusters)
+
+match_records() is the Spark form: the query side is blocked against
+the index side ONLY (no index-index pairs — the reference gets this
+from `candidates.run_id = 0 AND input.run_id = $1`), scored with the
+same one-pass features, then ranked/top-k per query record
+(match.sql:66, matcher.go:221-228).
+
+The index side's features are precomputed once (index_features) and
+reused across query batches — the analog of the reference's offline
+run-0 bootstrap (cmd/addressmatchpro/main.go:92-173).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from . import blocking, features, normalize, rank, scoring
+from .config import AmpConfig, DEFAULT_CONFIG
+
+
+class MatchIndex:
+    """Materialized candidate space (the reference's run 0)."""
+
+    def __init__(self, records: DataFrame, sides: DataFrame, idf: dict[int, float], cfg: AmpConfig):
+        self.records = records
+        self.sides = sides
+        self.idf = idf
+        self.cfg = cfg
+
+
+def build_index(files: DataFrame, cfg: AmpConfig = DEFAULT_CONFIG) -> MatchIndex:
+    """Offline bootstrap of the candidate space (reference main.go:92-173):
+    normalize -> representatives -> IDF dict -> one-pass features.
+    The IDF dictionary is frozen here and reused for query batches —
+    same semantics as the reference, which computes IDF over run 0 only
+    (make_tf_idf.go:75-168) and weighs query tokens with it."""
+    records = normalize.normalize(files, cfg, run_id=0).localCheckpoint(eager=True)
+    reps = normalize.representatives(records).localCheckpoint(eager=True)
+    idf = features.idf_map(reps, reps.count(), cfg)
+    sides = scoring.side_features_onepass(reps, idf, cfg).localCheckpoint(eager=True)
+    return MatchIndex(records, sides, idf, cfg)
+
+
+def _blocks_for(sides: DataFrame, reps_like: DataFrame, cfg: AmpConfig) -> DataFrame:
+    sigs = sides.select("record_id", "sig")
+    return blocking.minhash_blocks(sigs, cfg).unionByName(
+        blocking.path_blocks(reps_like)
+    )
+
+
+def match_records(
+    index: MatchIndex,
+    query_files: DataFrame,
+    run_id: int = 1,
+    top_n: int | None = None,
+) -> DataFrame:
+    """Match a query batch against the index (reference §3.1/§3.2).
+
+    Returns per-query ranked candidates:
+    (query_id, candidate_id, <similarity features>, score, rank),
+    top_n per query record (matcher.go:221-228 — distributed per-input
+    form; see rank.global_top_n for exact single-request parity).
+    """
+    cfg = index.cfg
+    q_records = normalize.normalize(query_files, cfg, run_id=run_id).localCheckpoint(
+        eager=True
+    )
+    q_sides = scoring.side_features_onepass(q_records, index.idf, cfg)
+
+    # blocking: query side vs index side ONLY (match.sql:30-31 semantics)
+    q_blocks = _blocks_for(q_sides, q_records, cfg).select(
+        F.col("record_id").alias("left_id"), "block_key"
+    )
+    i_blocks = _blocks_for(index.sides, index.records, cfg).select(
+        F.col("record_id").alias("right_id"), "block_key"
+    )
+    pairs = (
+        q_blocks.join(i_blocks, "block_key")
+        .select("left_id", "right_id")
+        .where(F.col("left_id") != F.col("right_id"))
+        .dropDuplicates(["left_id", "right_id"])
+    )
+
+    both_sides = q_sides.unionByName(index.sides)
+    scored = scoring.score_pairs_onepass(pairs, both_sides, cfg)
+    k = top_n if top_n is not None else cfg.top_k
+    return (
+        rank.rank_candidates(rank.top_k(scored, k=k, cfg=cfg))
+        .withColumnRenamed("left_id", "query_id")
+        .withColumnRenamed("right_id", "candidate_id")
+    )

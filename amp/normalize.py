@@ -6,9 +6,9 @@ standardizer.go:40-72) and derives n-gram token streams
 (make_tf_idf.go:53-63). Here the record is a source file, so the analog
 is: strip comments, fold whitespace/punctuation, lowercase, tokenize.
 
-Everything in this stage is built-in Catalyst expressions — one
-narrow-only projection over the scan (no shuffle, no Python). The
-whole stage lives inside a single WholeStageCodegen span.
+The stage is one narrow Arrow-batched pass over the scan — no shuffle.
+(A pure-Catalyst twin, normalize_jvm, exists for cross-checking; see
+normalize() for why the pandas kernel is the default.)
 
 Per-row invariant (BASELINE.json input_hint): ``content_sha =
 sha2(content, 256)`` is computed here and carried through every
@@ -17,6 +17,12 @@ downstream table; tests re-verify it never changes.
 
 from __future__ import annotations
 
+import hashlib
+import math
+import re
+from collections.abc import Iterator
+
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -31,21 +37,113 @@ _LINE_COMMENT_RE = r"(//|#|--)[^\n]*"
 _NON_TOKEN_RE = r"[^a-z0-9_]+"
 
 
+# record ids are the first 128 bits (32 hex chars) of the sha256 —
+# collision-safe beyond 10^15 records (birthday bound), and half the
+# shuffle-key bytes of the full digest on every downstream join/agg.
+# content_sha stays the FULL sha256 (the per-row invariant contract).
+RECORD_ID_HEX = 32
+
+
 def record_id_expr(repo: str = "repo", path: str = "path", commit: str = "commit"):
     """Deterministic record id — replaces the reference's SERIAL pk
     (scripts/init_db.sql:55). ``monotonically_increasing_id`` is
     nondeterministic across retries, so ids are content-addressed."""
-    return F.sha2(F.concat_ws(_US, F.col(repo), F.col(path), F.col(commit)), 256)
+    return F.substring(
+        F.sha2(F.concat_ws(_US, F.col(repo), F.col(path), F.col(commit)), 256),
+        1,
+        RECORD_ID_HEX,
+    )
+
+
+RECORDS_SCHEMA = (
+    "record_id string, content_sha string, repo string, path string, "
+    "commit string, lang string, basename string, stem string, "
+    "norm_text string, n_tokens int, n_chars int, "
+    "size_bucket int, run_id int"
+)
+
+_P_BLOCK = re.compile(_BLOCK_COMMENT_RE)
+_P_LINE = re.compile(_LINE_COMMENT_RE)
+_P_NONTOK = re.compile(_NON_TOKEN_RE)
+_P_EXT = re.compile(r"\.[a-z0-9]+$")
+
+
+def _normalize_batches(cfg: AmpConfig, run_id: int):
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "record_id", "content_sha", "basename", "stem", "norm_text",
+                "n_tokens", "n_chars", "size_bucket",
+            )}
+            for repo, path, commit, content in zip(
+                pdf["repo"], pdf["path"], pdf["commit"], pdf["content"]
+            ):
+                rows["record_id"].append(
+                    hashlib.sha256(_US.join((repo, path, commit)).encode()).hexdigest()[
+                        :RECORD_ID_HEX
+                    ]
+                )
+                rows["content_sha"].append(
+                    hashlib.sha256(content.encode()).hexdigest()
+                )
+                stripped = _P_NONTOK.sub(
+                    " ", _P_LINE.sub(" ", _P_BLOCK.sub(" ", content.lower()))
+                ).strip()
+                toks = stripped.split()[: cfg.max_tokens] if stripped else []
+                rows["norm_text"].append(" ".join(toks))
+                rows["n_tokens"].append(len(toks))
+                n_chars = len(content)
+                rows["n_chars"].append(n_chars)
+                rows["size_bucket"].append(int(math.floor(math.log2(n_chars + 1.0))))
+                base = path.rsplit("/", 1)[-1]
+                rows["basename"].append(base)
+                rows["stem"].append(_P_EXT.sub("", base))
+            out = pd.DataFrame(
+                {
+                    "record_id": rows["record_id"],
+                    "content_sha": rows["content_sha"],
+                    "repo": pdf["repo"].values,
+                    "path": pdf["path"].values,
+                    "commit": pdf["commit"].values,
+                    "lang": pdf["lang"].values,
+                    "basename": rows["basename"],
+                    "stem": rows["stem"],
+                    "norm_text": rows["norm_text"],
+                    "n_tokens": pd.array(rows["n_tokens"], dtype="int32"),
+                    "n_chars": pd.array(rows["n_chars"], dtype="int32"),
+                    "size_bucket": pd.array(rows["size_bucket"], dtype="int32"),
+                }
+            )
+            out["run_id"] = pd.array([run_id] * len(out), dtype="int32")
+            yield out
+
+    return fn
 
 
 def normalize(files: DataFrame, cfg: AmpConfig = DEFAULT_CONFIG, run_id: int = 0) -> DataFrame:
     """repo_files(repo, path, commit, lang, content) -> records.
 
-    Output: record_id, content_sha, repo, path, commit, lang,
-    basename, stem, norm_text, tokens (array<string>, capped),
+    One Arrow-batched mapInPandas pass (CPython regex + hashlib).
+    A JVM-expression variant exists (normalize_jvm) and computes the
+    identical output; the pandas path is the default because measured
+    on this class of hardware the JVM anti-scales on allocation-heavy
+    regex/string work across threads, while Arrow-batched Python worker
+    PROCESSES scale linearly — and on a real cluster executor processes
+    are the scaling unit anyway. hashlib.sha256(utf8) == sha2(col, 256)
+    by construction (asserted in tests), preserving the per-row
+    invariant contract.
+
+    Output: record_id, content_sha, repo, path, commit, lang, basename,
+    stem, norm_text (single-space-joined tokens, capped at max_tokens),
     n_tokens, n_chars, size_bucket, run_id.
     """
-    norm_text = F.trim(
+    return files.mapInPandas(_normalize_batches(cfg, run_id), RECORDS_SCHEMA)
+
+
+def normalize_jvm(files: DataFrame, cfg: AmpConfig = DEFAULT_CONFIG, run_id: int = 0) -> DataFrame:
+    """Built-in-expression twin of normalize() — same output, all
+    Catalyst (used to cross-check the pandas kernel in tests)."""
+    norm_text_raw = F.trim(
         F.regexp_replace(
             F.regexp_replace(
                 F.regexp_replace(F.lower(F.col("content")), _BLOCK_COMMENT_RE, " "),
@@ -59,58 +157,46 @@ def normalize(files: DataFrame, cfg: AmpConfig = DEFAULT_CONFIG, run_id: int = 0
 
     basename = F.element_at(F.split(F.col("path"), "/"), -1)
 
-    out = (
+    return (
         files.withColumn("record_id", record_id_expr())
         .withColumn("content_sha", F.sha2(F.col("content"), 256))
-        .withColumn("n_chars", F.length(F.col("content")))
-        .withColumn("norm_text", norm_text)
+        .withColumn("n_chars", F.length(F.col("content")).cast("int"))
         .withColumn(
             "tokens",
             F.slice(
-                F.filter(F.split(F.col("norm_text"), " "), lambda x: x != ""),
+                F.filter(F.split(norm_text_raw, " "), lambda x: x != ""),
                 1,
                 cfg.max_tokens,
             ),
         )
-        .withColumn("n_tokens", F.size(F.col("tokens")))
+        .withColumn("norm_text", F.concat_ws(" ", F.col("tokens")))
+        .withColumn("n_tokens", F.size(F.col("tokens")).cast("int"))
+        .drop("tokens")
         .withColumn("basename", basename)
         .withColumn("stem", F.regexp_replace(basename, r"\.[a-z0-9]+$", ""))
         .withColumn(
-            "size_bucket", F.floor(F.log2(F.col("n_chars").cast("double") + F.lit(1.0)))
+            "size_bucket",
+            F.floor(F.log2(F.col("n_chars").cast("double") + F.lit(1.0))).cast("int"),
         )
         .withColumn("run_id", F.lit(run_id))
-        .select(
-            "record_id",
-            "content_sha",
-            "repo",
-            "path",
-            "commit",
-            "lang",
-            "basename",
-            "stem",
-            "norm_text",
-            "tokens",
-            "n_tokens",
-            "n_chars",
-            "size_bucket",
-            "run_id",
-        )
+        .select(*[f.strip().split(" ")[0] for f in RECORDS_SCHEMA.split(",")])
     )
-    return out
 
 
-def shingles_expr(k: int, tokens_col: str = "tokens"):
+def shingles_expr(k: int, text_col: str = "norm_text"):
     """k-token shingle hashes as array<int> — JVM-side (murmur3 via
     ``hash``), no Python. Empty-ish docs get a single whole-string shingle
     (reference parity: ngrams() returns the whole string when shorter
-    than n, ngram_similarity.go:41-43)."""
+    than n, ngram_similarity.go:41-43). norm_text is single-space
+    delimited by construction, so split(' ') is exact."""
+    toks = f"split({text_col}, ' ')"
     return F.expr(
         f"""
-        CASE WHEN size({tokens_col}) < {k}
-             THEN array(hash(concat_ws(' ', {tokens_col})))
+        CASE WHEN size({toks}) < {k}
+             THEN array(hash({text_col}))
              ELSE transform(
-                    sequence(1, size({tokens_col}) - {k} + 1),
-                    i -> hash(concat_ws(' ', slice({tokens_col}, i, {k}))))
+                    sequence(1, size({toks}) - {k} + 1),
+                    i -> hash(concat_ws(' ', slice({toks}, i, {k}))))
         END
         """
     )

@@ -35,38 +35,77 @@ def run_pipeline(
     def stage(name: str, thunk):
         return ck.stage(name, thunk) if ck else thunk()
 
+    def pin(df):
+        """Materialize + TRUNCATE the logical plan (no-checkpoint path).
+
+        cache() alone is not enough: every downstream action still
+        re-analyzes the full logical tree, and with ~20 actions over a
+        deep DAG the driver-side Catalyst work dominates wall clock
+        (measured: wall identical at local[8] and local[32]).
+        localCheckpoint is the in-memory analog of the reference's
+        table-to-table stage materialization."""
+        return df.localCheckpoint(eager=True)
+
     records = stage("records", lambda: normalize.normalize(files, cfg, run_id))
     if ck is None:
-        records = records.cache()
+        records = pin(records)
 
     reps = stage("reps", lambda: normalize.representatives(records))
     if ck is None:
-        reps = reps.cache()
+        reps = pin(reps)
     ex_edges = stage("exact_edges", lambda: normalize.exact_edges(records))
 
-    sigs = stage("sigs", lambda: blocking.minhash_signatures(reps, cfg))
-    if ck is None:
-        sigs = sigs.cache()
-    blocks = stage("blocks", lambda: blocking.all_blocks(reps, sigs, cfg))
-    stats = stage("block_stats", lambda: blocking.block_stats(blocks))
-    pairs = stage("pairs", lambda: blocking.candidate_pairs(blocks, cfg, stats))
-    if ck is None:
-        pairs = pairs.cache()
+    out: dict[str, DataFrame] = {}
 
-    def _postings():
-        counts = features.term_counts(reps)
-        n_reps = reps.count()
-        idf = features.idf_dict(counts, n_reps, cfg)
-        return features.postings(counts, idf)
+    if cfg.broadcast_idf:
+        # -- default path: broadcast IDF dict + one-pass feature kernel --
+        def _sides():
+            idf = features.idf_map(reps, reps.count(), cfg)
+            return scoring.side_features_onepass(reps, idf, cfg)
 
-    post = stage("postings", _postings)
-    ptf = stage("pair_tfidf", lambda: features.pair_tfidf(pairs, post))
-    embs = stage("embeddings", lambda: features.embeddings(reps, cfg))
+        sides = stage("sides", _sides)
+        if ck is None:
+            sides = pin(sides)
+        sigs = sides.select("record_id", "sig")
+        blocks = blocking.all_blocks(reps, sigs, cfg)
+        stats = blocking.block_stats(blocks)
+        pairs = stage("pairs", lambda: blocking.candidate_pairs(blocks, cfg, stats))
+        if ck is None:
+            pairs = pin(pairs)
+        scored = stage(
+            "scored", lambda: scoring.score_pairs_onepass(pairs, sides, cfg)
+        )
+        if ck is None:
+            scored = pin(scored)
+        out.update(sides=sides, sigs=sigs)
+    else:
+        # -- open-vocabulary scale path: distributed postings join --
+        sigs = stage("sigs", lambda: blocking.minhash_signatures(reps, cfg))
+        if ck is None:
+            sigs = pin(sigs)
+        blocks = blocking.all_blocks(reps, sigs, cfg)
+        stats = blocking.block_stats(blocks)
+        pairs = stage("pairs", lambda: blocking.candidate_pairs(blocks, cfg, stats))
+        if ck is None:
+            pairs = pin(pairs)
 
-    sides = scoring.side_features(reps, sigs, embs)
-    scored = stage("scored", lambda: scoring.score_pairs(pairs, sides, ptf, cfg))
-    if ck is None:
-        scored = scored.cache()
+        def _postings():
+            counts = features.term_counts(reps)
+            idf = features.idf_dict(counts, reps.count(), cfg)
+            return features.postings(counts, idf)
+
+        post = stage("postings", _postings)
+        if ck is None:
+            post = pin(post)
+        ptf = stage("pair_tfidf", lambda: features.pair_tfidf(pairs, post))
+        embs = stage("embeddings", lambda: features.embeddings(reps, cfg))
+        sides = scoring.side_features(reps, sigs, embs)
+        if ck is None:
+            sides = pin(sides)
+        scored = stage("scored", lambda: scoring.score_pairs(pairs, sides, ptf, cfg))
+        if ck is None:
+            scored = pin(scored)
+        out.update(sigs=sigs, postings=post, pair_tfidf=ptf, embeddings=embs)
 
     # checkpointed stages come back with a run_id partition column —
     # project both sides to the edge schema before the union
@@ -82,21 +121,18 @@ def run_pipeline(
             edges, all_nodes=records.select("record_id"), cfg=cfg
         ),
     )
-    return {
-        "records": records,
-        "reps": reps,
-        "exact_edges": ex_edges,
-        "sigs": sigs,
-        "blocks": blocks,
-        "block_stats": stats,
-        "pairs": pairs,
-        "postings": post,
-        "pair_tfidf": ptf,
-        "embeddings": embs,
-        "scored": scored,
-        "edges": edges,
-        "clusters": clusters,
-    }
+    out.update(
+        records=records,
+        reps=reps,
+        exact_edges=ex_edges,
+        blocks=blocks,
+        block_stats=stats,
+        pairs=pairs,
+        scored=scored,
+        edges=edges,
+        clusters=clusters,
+    )
+    return out
 
 
 def main() -> None:

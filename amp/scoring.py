@@ -90,19 +90,204 @@ def jaro_winkler_udf(s1: pd.Series, s2: pd.Series) -> pd.Series:
 
 
 # ---------------------------------------------------------------------------
-# feature assembly + composite
+# one-pass per-record feature kernel
 # ---------------------------------------------------------------------------
 
+SIDE_SCHEMA = (
+    "record_id string, stem string, lang string, sig array<long>, "
+    "embedding array<float>, tok_hashes array<long>, tok_weights array<double>, "
+    "tok_norm double"
+)
+
+
+def side_features_onepass(
+    reps: DataFrame, idf: dict[int, float], cfg: AmpConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """ALL per-record scoring features in ONE Arrow-batched pass:
+    MinHash signature, hashing-trick embedding, and the tf-idf sparse
+    vector (token hashes sorted + weights + L2 norm) weighted by the
+    broadcast IDF dict. Replaces three separate stages + their joins;
+    the pair scorer then needs exactly two record-sized equi-joins.
+
+    This is the Spark shape of the reference's per-record feature
+    tables (customer_keys / customer_tokens / customer_vector_embedding,
+    init_db.sql:78-115) — except materialized in one pass instead of
+    three Postgres round-trips."""
+    import zlib
+    from collections import Counter
+    from collections.abc import Iterator
+
+    import numpy as np
+
+    from .blocking import _MERSENNE_P, _minhash_coeffs
+
+    a, b = _minhash_coeffs(cfg)
+    a_arr = np.array(a, dtype=np.int64)[:, None]
+    b_arr = np.array(b, dtype=np.int64)[:, None]
+    k = cfg.shingle_k
+    dim = cfg.emb_dim
+    idf_b = reps.sparkSession.sparkContext.broadcast(idf)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        idf_local = idf_b.value
+        for pdf in batches:
+            out = {c: [] for c in ("sig", "embedding", "tok_hashes", "tok_weights", "tok_norm")}
+            for text in pdf["norm_text"]:
+                toks = text.split() if text else []
+                # --- minhash over k-token shingles ---
+                if len(toks) < k:
+                    shingles = {" ".join(toks)}
+                else:
+                    shingles = {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+                h = np.fromiter((zlib.crc32(s.encode()) for s in shingles), dtype=np.int64)
+                out["sig"].append(((a_arr * h[None, :] + b_arr) % _MERSENNE_P).min(axis=1))
+                # --- hashing-trick embedding + tf-idf vector ---
+                emb = np.zeros(dim, dtype=np.float32)
+                c = Counter(toks)
+                n = len(toks) or 1
+                hashes = np.empty(len(c), dtype=np.int64)
+                weights = np.empty(len(c), dtype=np.float64)
+                for i, (t, cnt) in enumerate(c.items()):
+                    th = zlib.crc32(b"c:" + t.encode())
+                    hashes[i] = th
+                    weights[i] = (cnt / n) * idf_local.get(th, 0.0)
+                    he = zlib.crc32(t.encode())
+                    emb[he % dim] += 1.0 if (he >> 16) & 1 else -1.0
+                enorm = float(np.linalg.norm(emb))
+                if enorm > 0:
+                    emb /= enorm
+                order = np.argsort(hashes)
+                out["embedding"].append(emb)
+                out["tok_hashes"].append(hashes[order])
+                out["tok_weights"].append(weights[order])
+                out["tok_norm"].append(float(np.sqrt((weights ** 2).sum())))
+            yield pd.DataFrame(
+                {
+                    "record_id": pdf["record_id"],
+                    "stem": pdf["stem"],
+                    "lang": pdf["lang"],
+                    **out,
+                }
+            )
+
+    return reps.select("record_id", "stem", "lang", "norm_text").mapInPandas(
+        fn, SIDE_SCHEMA
+    )
+
+
 def side_features(reps: DataFrame, sigs: DataFrame, embs: DataFrame) -> DataFrame:
-    """Per-representative scoring features, joined once on record_id.
-    Downstream, pairs join this table twice (left/right side) — the
-    Spark replacement for the reference's per-side index lookups
+    """Join-based feature assembly (used by the postings-join scale
+    path). Downstream, pairs join this table twice (left/right side) —
+    the Spark replacement for the reference's per-side index lookups
     (match.sql:26-29): no index, so denormalize."""
     return (
         reps.select("record_id", "stem", "lang")
         .join(sigs, "record_id")
         .join(embs, "record_id")
     )
+
+
+def levenshtein(s1: str, s2: str) -> int:
+    """Classic edit distance (matches F.levenshtein / DuckDB
+    levenshtein). Strings here are path stems (short)."""
+    if s1 == s2:
+        return 0
+    if not s1:
+        return len(s2)
+    if not s2:
+        return len(s1)
+    if len(s1) < len(s2):
+        s1, s2 = s2, s1
+    prev = list(range(len(s2) + 1))
+    for i, c1 in enumerate(s1):
+        cur = [i + 1]
+        for j, c2 in enumerate(s2):
+            cur.append(min(prev[j + 1] + 1, cur[j] + 1, prev[j] + (c1 != c2)))
+        prev = cur
+    return prev[-1]
+
+
+SCORED_SCHEMA = (
+    "left_id string, right_id string, tfidf_dot double, tfidf_cosine double, "
+    "jaccard_est double, emb_cosine double, path_jw double, path_lev_sim double, "
+    "lang_match double, score double, score_100 double"
+)
+
+
+def score_pairs_onepass(
+    pairs: DataFrame, sides: DataFrame, cfg: AmpConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """Candidate pairs -> scored pairs: two record-sized equi-joins to
+    the one-pass feature table, then ONE Arrow-batched scorer computing
+    every similarity (tf-idf dot/cosine via sorted-hash intersection,
+    MinHash-agreement Jaccard, embedding cosine, Jaro-Winkler,
+    Levenshtein, lang flag) and the weighted composite. The reference's
+    driver-side Go row loop (matcher.go:119-211) collapses into this."""
+    import numpy as np
+
+    w = cfg
+
+    def fn(batches):
+        for pdf in batches:
+            n = len(pdf)
+            dots = np.zeros(n); coss = np.zeros(n); jac = np.zeros(n)
+            embc = np.zeros(n); jws = np.zeros(n); levs = np.zeros(n)
+            for i in range(n):
+                lh, rh = pdf["l_th"].iat[i], pdf["r_th"].iat[i]
+                lw, rw = pdf["l_tw"].iat[i], pdf["r_tw"].iat[i]
+                _, li, ri = np.intersect1d(lh, rh, assume_unique=True, return_indices=True)
+                d = float(np.dot(lw[li], rw[ri])) if len(li) else 0.0
+                dots[i] = d
+                denom = pdf["l_tn"].iat[i] * pdf["r_tn"].iat[i]
+                coss[i] = d / denom if denom > 0 else 0.0
+                jac[i] = float(np.mean(pdf["l_sig"].iat[i] == pdf["r_sig"].iat[i]))
+                embc[i] = float(np.dot(pdf["l_emb"].iat[i], pdf["r_emb"].iat[i]))
+                ls, rs = pdf["l_stem"].iat[i] or "", pdf["r_stem"].iat[i] or ""
+                jws[i] = jaro_winkler(ls, rs)
+                m = max(len(ls), len(rs), 1)
+                levs[i] = 1.0 - levenshtein(ls, rs) / m
+            lang_match = (pdf["l_lang"] == pdf["r_lang"]).astype("float64").values
+            score = (
+                coss * w.w_token_cosine
+                + jac * w.w_shingle_jaccard
+                + embc * w.w_emb_cosine
+                + jws * w.w_path_jw
+                + levs * w.w_path_lev
+                + lang_match * w.w_lang_match
+            )
+            yield pd.DataFrame(
+                {
+                    "left_id": pdf["left_id"],
+                    "right_id": pdf["right_id"],
+                    "tfidf_dot": dots,
+                    "tfidf_cosine": coss,
+                    "jaccard_est": jac,
+                    "emb_cosine": embc,
+                    "path_jw": jws,
+                    "path_lev_sim": levs,
+                    "lang_match": lang_match,
+                    "score": score,
+                    # reference clamp (matcher.go:208)
+                    "score_100": np.clip(score * 100.0, 1.0, 100.0),
+                }
+            )
+
+    lhs = sides.select(
+        F.col("record_id").alias("left_id"),
+        F.col("stem").alias("l_stem"), F.col("lang").alias("l_lang"),
+        F.col("sig").alias("l_sig"), F.col("embedding").alias("l_emb"),
+        F.col("tok_hashes").alias("l_th"), F.col("tok_weights").alias("l_tw"),
+        F.col("tok_norm").alias("l_tn"),
+    )
+    rhs = sides.select(
+        F.col("record_id").alias("right_id"),
+        F.col("stem").alias("r_stem"), F.col("lang").alias("r_lang"),
+        F.col("sig").alias("r_sig"), F.col("embedding").alias("r_emb"),
+        F.col("tok_hashes").alias("r_th"), F.col("tok_weights").alias("r_tw"),
+        F.col("tok_norm").alias("r_tn"),
+    )
+    joined = pairs.join(lhs, "left_id").join(rhs, "right_id")
+    return joined.mapInPandas(fn, SCORED_SCHEMA)
 
 
 def _dot_expr(l: str, r: str) -> F.Column:

@@ -49,6 +49,13 @@ def get_spark(
         # nested-loop product; keep the broadcast threshold modest and
         # let AQE upgrade when runtime stats allow
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        # local-mode corpora are tens of MB in a handful of files; the
+        # default 128MB split packs the whole scan into 1-2 tasks and
+        # serializes every narrow stage. 4MB splits restore scan
+        # parallelism. On a real cluster (TB inputs, thousands of
+        # files) the 128MB default is correct — override via extra_conf.
+        .config("spark.sql.files.maxPartitionBytes", str(4 * 1024 * 1024))
+        .config("spark.sql.files.openCostInBytes", str(512 * 1024))
     )
     if extra_conf:
         for k, v in extra_conf.items():

@@ -1,0 +1,247 @@
+"""Benchmark harness.
+
+Default mode: run the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE JSON
+line: {"metric", "value" (total sec), "unit": "sec", "queries": {name:
+sec}, "sf", plus pairs-scored throughput fields}.
+
+--scaling: run the ER pipeline at two parallelism levels (local[8] vs
+local[32] — the sandbox stand-in for N vs 4N executors, per
+BASELINE.md) in separate subprocesses (a JVM cannot change master
+in-process) and report throughput + scaling efficiency; optionally
+rewrite BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def _sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def _er_scale(sf: float) -> int:
+    """Base-file count for the synthetic ER corpus, proportional to sf."""
+    return max(120, int(120_000 * sf))
+
+
+def _corpus_path(spark, n_base: int) -> str:
+    """Pre-generate the input table to parquet ONCE (untimed, fixed
+    partitioning) — the benchmark measures the PIPELINE over an input
+    table, not synthetic-data generation. Both parallelism levels of the
+    scaling run read the identical bytes."""
+    from amp.datagen import gen_files
+
+    path = f"/tmp/amp_corpus_{n_base}"
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        gen_files(spark, n_base, partitions=32).write.mode("overwrite").parquet(path)
+    return path
+
+
+def run_er_pipeline(spark, n_base: int) -> dict:
+    """Flagship: full ER pipeline over a parquet input table."""
+    from pyspark.sql import functions as F
+
+    from amp.pipeline import run_pipeline
+
+    path = _corpus_path(spark, n_base)
+    t0 = time.time()
+    files = spark.read.parquet(path)
+    out = run_pipeline(spark, files)
+    n_pairs = out["scored"].count()
+    n_clusters = out["clusters"].agg(F.countDistinct("cluster_id")).collect()[0][0]
+    n_records = out["records"].count()
+    wall = time.time() - t0
+    return {
+        "wall_sec": wall,
+        "records": n_records,
+        "pairs_scored": n_pairs,
+        "clusters": n_clusters,
+        "pairs_per_sec": n_pairs / wall if wall > 0 else 0.0,
+        "records_per_sec": n_records / wall if wall > 0 else 0.0,
+    }
+
+
+def run_headline(spark, sf_dir: str) -> dict[str, float]:
+    """Per-query wall seconds over the driver parquet tables."""
+    import __spark_entry__ as E
+
+    qs = E.queries()
+    picks = [
+        "block_pairs_multipass",
+        "tfidf_postings",
+        "pair_tfidf_dot",
+        "rank_window",
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "dedup_embedding_cosine",
+        "ann_bruteforce_topk",
+        "text_quality",
+        "text_fingerprints",
+        "agg_lineitem",
+        "join_orders_customer",
+        "window_events_topk",
+    ]
+    times: dict[str, float] = {}
+    for name in picks:
+        t0 = time.time()
+        df = qs[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        times[name] = round(time.time() - t0, 3)
+    return times
+
+
+def bench_once(sf_dir: str, cpus: int, er_only: bool = False, er_base: int | None = None) -> dict:
+    from amp.session import get_spark
+
+    spark = get_spark("amp-bench", cpus=cpus, shuffle_partitions=cpus)
+    sf = _sf_of(sf_dir)
+    er = run_er_pipeline(spark, er_base if er_base else _er_scale(sf))
+    queries = {} if er_only else run_headline(spark, sf_dir)
+    queries["er_pipeline"] = round(er["wall_sec"], 3)
+    total = round(sum(queries.values()), 3)
+    return {
+        "metric": "headline wall sec (er pipeline + operator queries)",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "cpus": cpus,
+        "er_records": er["records"],
+        "er_pairs_scored": er["pairs_scored"],
+        "er_clusters": er["clusters"],
+        "er_pairs_per_sec": round(er["pairs_per_sec"], 1),
+        "er_records_per_sec": round(er["records_per_sec"], 1),
+    }
+
+
+def run_scaling(
+    sf_dir: str, lo: int, hi: int, write_md: bool, n_base: int = 200_000, repeats: int = 3
+) -> dict:
+    """Same job + same parquet input at two parallelism levels, each in
+    a fresh subprocess (a JVM cannot change master in-process).
+    Interleaved repeats + median wall, because the sandbox host shows
+    ±20% run-to-run variance."""
+    import statistics
+
+    walls: dict[int, list[float]] = {lo: [], hi: []}
+    last: dict[int, dict] = {}
+    for _ in range(repeats):
+        for cpus in (lo, hi):
+            cmd = [
+                sys.executable, os.path.abspath(__file__),
+                "--sf-dir", sf_dir, "--cpus", str(cpus),
+                "--er-base", str(n_base), "--er-only", "--json-only",
+            ]
+            out = subprocess.run(
+                cmd, capture_output=True, text=True,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+            line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+            r = json.loads(line)
+            walls[cpus].append(r["queries"]["er_pipeline"])
+            last[cpus] = r
+    med = {c: statistics.median(walls[c]) for c in (lo, hi)}
+    recs = last[lo]["er_records"]
+    rps = {c: recs / med[c] for c in (lo, hi)}
+    eff = rps[hi] / (rps[lo] * (hi / lo)) if rps[lo] else 0.0
+    summary = {
+        "scaling": {
+            f"local[{lo}]": {"walls": walls[lo], "median_wall": med[lo], "records_per_sec": round(rps[lo], 1)},
+            f"local[{hi}]": {"walls": walls[hi], "median_wall": med[hi], "records_per_sec": round(rps[hi], 1)},
+            "records": recs,
+            "pairs_scored": last[lo]["er_pairs_scored"],
+            "throughput_ratio": round(rps[hi] / rps[lo], 3),
+            "efficiency": round(eff, 3),
+        }
+    }
+    if write_md:
+        _write_baseline_md(sf_dir, lo, hi, last, med, rps, eff, walls)
+    return summary
+
+
+def _write_baseline_md(sf_dir, lo, hi, last, med, rps, eff, walls) -> None:
+    os.makedirs("BENCH", exist_ok=True)
+    rl = last[lo]
+    pairs_per_sec = {c: rl["er_pairs_scored"] / med[c] for c in (lo, hi)}
+    with open("BENCH/BASELINE.md", "w") as fh:
+        fh.write(
+            f"""# BENCH baseline — measured
+
+Same job (full ER pipeline: normalize -> blocking -> features ->
+scoring -> connected components), same deterministic parquet input
+({rl['er_records']} records, seed 42), two parallelism levels on one
+machine — the sandbox stand-in for N vs 4N executors (no real cluster
+available; the rule's two-cluster-size criterion is evidenced this
+way). Median of {len(walls[lo])} interleaved repeats per level (host
+shows ±20% run-to-run variance).
+
+| config | records | pairs scored | median wall sec (all runs) | records/sec | pairs/sec |
+|---|---|---|---|---|---|
+| local[{lo}] (N) | {rl['er_records']} | {rl['er_pairs_scored']} | {med[lo]:.1f} {walls[lo]} | {rps[lo]:.1f} | {pairs_per_sec[lo]:.1f} |
+| local[{hi}] (4N) | {rl['er_records']} | {rl['er_pairs_scored']} | {med[hi]:.1f} {walls[hi]} | {rps[hi]:.1f} | {pairs_per_sec[hi]:.1f} |
+
+**Scaling efficiency** = (records/sec at 4N) / ({hi // lo} x records/sec at N)
+= **{eff:.3f}** (target >= 0.8 per BASELINE.json).
+
+Measurement notes (see also amp/normalize.py, amp/scoring.py docstrings):
+this host's JVM *anti-scales* across threads on allocation-heavy
+string/regex work (measured: a pure regex stage runs FASTER on
+local[1] than local[16], while the same work in Python worker
+processes scales ~24x across 32 procs) — so every string-heavy kernel
+runs as an Arrow-batched pandas UDF in separate worker processes, the
+same scaling unit as executors on a real cluster. Remaining
+non-scaling wall is shuffle/disk + per-stage scheduling overhead.
+
+sf dir: `{sf_dir}`. Reproduce: `python bench.py --scaling --write-md`.
+"""
+        )
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    ap.add_argument("--cpus", type=int, default=DEFAULT_CPUS)
+    ap.add_argument("--er-base", type=int, default=None,
+                    help="override ER corpus base-file count (default: 120000*sf)")
+    ap.add_argument("--er-only", action="store_true")
+    ap.add_argument("--json-only", action="store_true")
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--scale-lo", type=int, default=2)
+    ap.add_argument("--scale-hi", type=int, default=8)
+    ap.add_argument("--scale-base", type=int, default=200_000)
+    ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--write-md", action="store_true")
+    args = ap.parse_args()
+
+    if args.scaling:
+        print(
+            json.dumps(
+                run_scaling(
+                    args.sf_dir, args.scale_lo, args.scale_hi, args.write_md,
+                    n_base=args.scale_base, repeats=args.repeats,
+                )
+            )
+        )
+        return
+    print(json.dumps(bench_once(args.sf_dir, args.cpus, er_only=args.er_only, er_base=args.er_base)))
+
+
+if __name__ == "__main__":
+    main()

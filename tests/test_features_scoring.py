@@ -1,0 +1,98 @@
+"""TF-IDF formulas against hand-computed values; Jaro-Winkler against
+DuckDB's implementation (which the oracle comparisons rely on)."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from amp import features
+from amp.scoring import jaro_winkler
+
+
+def test_doc_tfidf_hand_computed(spark):
+    docs = spark.createDataFrame(
+        [(1, "apple banana apple"), (2, "banana cherry"), (3, "cherry cherry date")],
+        "doc_id long, text string",
+    )
+    rows = {
+        (r["doc_id"], r["token"]): r["tfidf"]
+        for r in features.doc_tfidf(docs).collect()
+    }
+    # doc1: apple tf=2/3, df(apple)=1, idf=ln(3/1)
+    assert rows[(1, "apple")] == pytest.approx(round(2 / 3 * math.log(3), 6))
+    # banana appears in docs 1,2 -> idf=ln(3/2)
+    assert rows[(1, "banana")] == pytest.approx(round(1 / 3 * math.log(1.5), 6))
+    assert rows[(2, "banana")] == pytest.approx(round(1 / 2 * math.log(1.5), 6))
+    # cherry in doc3: tf=2/3, idf=ln(3/2)
+    assert rows[(3, "cherry")] == pytest.approx(round(2 / 3 * math.log(1.5), 6))
+
+
+def test_pair_dot_hand_computed(spark):
+    docs = spark.createDataFrame(
+        [(1, "apple banana"), (2, "banana cherry")], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(1, 2)], "left_id long, right_id long")
+    dot = features.doc_pair_dot(docs, pairs).collect()[0]["tfidf_dot"]
+    # shared token: banana, tf=1/2 each, idf=ln(2/2)=0 -> dot 0
+    assert dot == 0.0
+
+
+def test_idf_unsmoothed_missing_token_zero(spark):
+    """Reference parity: idf = ln(N/df) with no smoothing; a token in
+    every doc weighs exactly 0 (make_tf_idf.go:66-72)."""
+    docs = spark.createDataFrame(
+        [(1, "common alpha"), (2, "common beta")], "doc_id long, text string"
+    )
+    rows = {
+        (r["doc_id"], r["token"]): r["tfidf"]
+        for r in features.doc_tfidf(docs).collect()
+    }
+    assert rows[(1, "common")] == 0.0 and rows[(2, "common")] == 0.0
+
+
+@pytest.mark.parametrize(
+    "a,b,expected",
+    [
+        ("martha", "marhta", 0.9611111111111111),
+        ("dixon", "dicksonx", 0.8133333333333332),
+        ("aaxcdefg", "aaqrstuv", 0.5),        # below boost threshold: no prefix bonus
+        ("ab", "ab", 1.0),
+        ("a", "b", 0.0),
+        ("", "abc", 0.0),
+    ],
+)
+def test_jaro_winkler_golden(a, b, expected):
+    assert jaro_winkler(a, b) == pytest.approx(expected, abs=1e-12)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.text(alphabet="abcdefg_0123", min_size=0, max_size=12),
+    st.text(alphabet="abcdefg_0123", min_size=0, max_size=12),
+)
+def test_jaro_winkler_matches_duckdb(a, b):
+    got = jaro_winkler(a, b)
+    want = duckdb.sql(
+        "select jaro_winkler_similarity(?, ?)", params=[a, b]
+    ).fetchone()[0]
+    assert got == pytest.approx(want, abs=1e-12)
+
+
+def test_embeddings_unit_norm_and_deterministic(spark):
+    reps = spark.createDataFrame(
+        [("r1", "def foo bar"), ("r2", "def foo bar"), ("r3", "")],
+        "record_id string, norm_text string",
+    )
+    from amp.config import DEFAULT_CONFIG as CFG
+
+    rows = {r["record_id"]: r["embedding"] for r in features.embeddings(reps, CFG).collect()}
+    assert rows["r1"] == rows["r2"]
+    norm = math.sqrt(sum(x * x for x in rows["r1"]))
+    assert norm == pytest.approx(1.0, abs=1e-5)
+    assert all(x == 0.0 for x in rows["r3"])

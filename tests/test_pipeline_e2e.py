@@ -1,0 +1,85 @@
+"""End-to-end gates: pairwise F1 >= 0.99 (BASELINE.json), per-class
+recall, resume-equals-fresh, datagen determinism."""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+from amp.cluster import pairwise_f1
+
+
+def test_f1_gate(spark, small_corpus, pipeline_out):
+    _, labels = small_corpus
+    m = pairwise_f1(pipeline_out["clusters"], labels)
+    assert m["f1"] >= 0.99, m
+    assert m["precision"] >= 0.99 and m["recall"] >= 0.99, m
+
+
+def test_per_class_recall(spark, small_corpus, pipeline_out):
+    """Each corruption class must be fully recalled, and the negative
+    class (boilerplate near-miss) fully rejected."""
+    _, labels = small_corpus
+    cl = pipeline_out["clusters"]
+    j = (
+        labels.join(
+            cl.withColumnRenamed("record_id", "left_id").withColumnRenamed("cluster_id", "l_cl"),
+            "left_id",
+        )
+        .join(
+            cl.withColumnRenamed("record_id", "right_id").withColumnRenamed("cluster_id", "r_cl"),
+            "right_id",
+        )
+        .withColumn("same", F.col("l_cl") == F.col("r_cl"))
+    )
+    per_class = {
+        (r["corruption"], r["is_match"]): (r["n_same"], r["n"])
+        for r in j.groupBy("corruption", "is_match")
+        .agg(F.sum(F.col("same").cast("int")).alias("n_same"), F.count("*").alias("n"))
+        .collect()
+    }
+    for (cls, is_match), (n_same, n) in per_class.items():
+        if is_match:
+            assert n_same == n, f"recall miss in {cls}: {n_same}/{n}"
+        else:
+            assert n_same == 0, f"false merges in {cls}: {n_same}/{n}"
+
+
+def test_datagen_deterministic_across_parallelism(spark):
+    """The corpus must be identical at different partition counts —
+    this is what makes the two-parallelism bench comparable."""
+    from amp.datagen import gen_files
+
+    a = gen_files(spark, 60, partitions=2)
+    b = gen_files(spark, 60, partitions=16)
+    assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+
+
+def test_resume_equals_fresh(spark, tmp_path_factory):
+    """Kill-after-stage-k semantics: wipe the tail manifests, re-run,
+    final clusters byte-identical (SURVEY.md §5.3)."""
+    from amp.datagen import gen_files
+    from amp.pipeline import run_pipeline
+
+    root = str(tmp_path_factory.mktemp("ck"))
+    files = gen_files(spark, 80, partitions=4)
+    out1 = run_pipeline(spark, files, checkpoint_root=root)
+    fresh = sorted(
+        (r["record_id"], r["cluster_id"]) for r in out1["clusters"].collect()
+    )
+    # simulate a crash after the 'scored' stage: drop downstream manifests
+    for stage in ("edges", "clusters"):
+        os.remove(os.path.join(root, "_manifest", f"run0_{stage}.json"))
+    out2 = run_pipeline(spark, files, checkpoint_root=root)
+    resumed = sorted(
+        (r["record_id"], r["cluster_id"]) for r in out2["clusters"].collect()
+    )
+    assert fresh == resumed
+    # manifest carries per-stage rows + wall time
+    with open(os.path.join(root, "_manifest", "run0_clusters.json")) as fh:
+        man = json.load(fh)
+    assert man["rows"] == len(fresh) and man["stage"] == "clusters"
