@@ -227,9 +227,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _docs(spark, sf_dir), bits=16
     )
 
-    # ---- dedup: embedding-cosine near-dup ----
+    # ---- dedup: embedding-cosine near-dup (exact, tiled BLAS) ----
     q["dedup_embedding_cosine"] = lambda spark, sf_dir: dedup.embedding_near_dup(
         _embs(spark, sf_dir), threshold=0.3
+    )
+
+    # ---- dedup: embedding near-dup, banded-LSH scale path ----
+    # deterministic seeded planes -> the oracle computes the same buckets,
+    # so even the sub-quadratic candidate path is hash-exact vs DuckDB
+    q["dedup_embedding_lsh"] = lambda spark, sf_dir: dedup.embedding_lsh_near_dup(
+        _embs(spark, sf_dir), threshold=0.3, dim=64, bands=2, band_bits=8
     )
 
     # ---- similarity search: brute-force cosine top-k ----
@@ -240,9 +247,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ann_bruteforce_topk"] = q_ann
 
     # ---- similarity search: LSH-bucketed ANN (scale path) ----
+    # multi-probe h=1; dim passed explicitly (no driver action in the
+    # plan). Measured recall@5 vs ann_bruteforce_topk on this fixture is
+    # asserted in tests/test_dedup_scale.py and recorded in BASELINE.md.
     def q_ann_lsh(spark, sf_dir):
         e = _embs(spark, sf_dir)
-        return ann.lsh_topk(e, e.where(F.col("vec_id") < 10), k=5, bits=4)
+        return ann.lsh_topk(
+            e, e.where(F.col("vec_id") < 10), k=5, bits=4, dim=64, probe_hamming=1
+        )
 
     q["ann_lsh_topk"] = q_ann_lsh
 
@@ -340,7 +352,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["match_query_vs_index_topk"] = q_match
 
-    # ---- dedup: simhash near-pairs (bucket + hamming) ----
+    # ---- dedup: simhash near-pairs (Hamming-LSH banding, complete) ----
+    # the oracle below is the clean brute-force spec — hash-exactness
+    # proves the banded equi-joins lose no pair with hamming <= 3
     q["dedup_simhash_pairs"] = lambda spark, sf_dir: dedup.simhash_near_pairs(
         _docs(spark, sf_dir), bits=16, max_hamming=3
     )
@@ -634,15 +648,47 @@ SELECT left_id, right_id, tfidf_dot, rn FROM (
 """
     )
 
+    # brute-force spec: ALL pairs with hamming <= 3. The Spark side runs
+    # Hamming-LSH banding (4 x 4-bit bands); pigeonhole makes banding
+    # complete for d <= 3, and this hash-exact comparison proves it.
     o["dedup_simhash_pairs"] = f"""
 WITH {_TOKS_CTE}, {_DTOKS_CTE},
 votes AS (SELECT doc_id, {votes} FROM dtoks GROUP BY doc_id),
-fps AS (SELECT doc_id, {fp_sum} AS simhash FROM votes),
-keyed AS (SELECT doc_id, simhash, simhash >> 8 AS bucket FROM fps)
+fps AS (SELECT doc_id, {fp_sum} AS simhash FROM votes)
 SELECT l.doc_id AS left_id, r.doc_id AS right_id,
        bit_count(xor(l.simhash, r.simhash)) AS hamming
-FROM keyed l JOIN keyed r ON l.bucket = r.bucket AND l.doc_id < r.doc_id
+FROM fps l JOIN fps r ON l.doc_id < r.doc_id
 WHERE bit_count(xor(l.simhash, r.simhash)) <= 3
+"""
+
+    # banded hyperplane-LSH near-dup: the seeded plane literals are the
+    # SAME constants folded into the Spark plan (amp.dedup
+    # embedding_lsh_planes), so both engines compute identical buckets,
+    # identical candidates, identical verified pairs — the approximate
+    # operator is exactly specified and hash-checked.
+    plane_groups = dedup.embedding_lsh_planes(dim=64, bands=2, band_bits=8)
+    band_selects = []
+    for bi, pg in enumerate(plane_groups):
+        bits_sql = " + ".join(
+            f"(CASE WHEN list_dot_product(v, [{','.join(repr(float(x)) for x in p)}]::DOUBLE[]) > 0 "
+            f"THEN {1 << j} ELSE 0 END)"
+            for j, p in enumerate(pg)
+        )
+        band_selects.append(f"SELECT id, {bi} AS band, {bits_sql} AS bucket FROM e")
+    bands_union = "\nUNION ALL\n".join(band_selects)
+    o["dedup_embedding_lsh"] = f"""
+WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+keys AS ({bands_union}),
+cand AS (
+  SELECT DISTINCT l.id AS left_id, r.id AS right_id
+  FROM keys l JOIN keys r ON l.band = r.band AND l.bucket = r.bucket AND l.id < r.id
+)
+SELECT c.left_id, c.right_id,
+       round(list_dot_product(le.v, re.v)
+             / (sqrt(list_dot_product(le.v, le.v)) * sqrt(list_dot_product(re.v, re.v))), 6) AS cosine
+FROM cand c JOIN e le ON le.id = c.left_id JOIN e re ON re.id = c.right_id
+WHERE round(list_dot_product(le.v, re.v)
+            / (sqrt(list_dot_product(le.v, le.v)) * sqrt(list_dot_product(re.v, re.v))), 6) >= 0.3
 """
 
     # er_pipeline_clusters / ann_lsh_topk: no oracle —

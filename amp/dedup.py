@@ -3,17 +3,22 @@ pipeline counterpart of the ER engine's blocking stage. Five families:
 
   exact            hash-groupBy on a normalized fingerprint (linear)
   minhash LSH      shingle -> md5-minhash -> band -> bucket equi-join
-  simhash          weighted bit-vote fingerprint, hamming-bucket join
+  simhash          weighted bit-vote fingerprint, Hamming-band equi-join
   n-gram jaccard   exact token-set jaccard on LSH candidates
-  embedding cosine near-dup via cosine >= threshold on candidate pairs
+  embedding cosine exact: tiled BLAS all-pairs; scale: banded
+                   hyperplane-LSH candidates -> exact-cosine verify
 
-Everything except simhash is pure built-in expressions (md5/array ops),
-so each has a bit-exact DuckDB oracle. The md5-string minhash here is
-the oracle-friendly twin of the production int64 minhash in
+Each operator has a bit-exact DuckDB oracle — including the LSH paths:
+their bucketing is deterministic (seeded plane literals / fingerprint
+bands), so the oracle computes the *same* buckets, making even the
+"approximate" operators exactly specified. The md5-string minhash here
+is the oracle-friendly twin of the production int64 minhash in
 amp.blocking (same math, cheaper hashes there).
 """
 
 from __future__ import annotations
+
+import math
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -151,51 +156,238 @@ def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
     return votes.select("doc_id", fp.alias("simhash"))
 
 
-def simhash_near_pairs(docs: DataFrame, bits: int = 16, max_hamming: int = 2) -> DataFrame:
-    """Near-dup pairs by simhash: block on the high byte (trades recall
-    for a bounded join, standard at scale), then filter hamming
-    distance via bit_count(xor)."""
-    fp = simhash(docs, bits)
-    bucket = F.shiftright(F.col("simhash"), bits // 2)
-    keyed = fp.select("doc_id", "simhash", bucket.alias("bucket"))
-    l = keyed.select(
-        F.col("doc_id").alias("left_id"), F.col("simhash").alias("l_fp"), "bucket"
+def _banded_fp_pairs(
+    fp: DataFrame, fp_col: str, n_bands: int, width: int, max_hamming: int
+) -> DataFrame:
+    """Hamming-LSH banding over an integer fingerprint: split into
+    ``n_bands`` contiguous bit bands; a pair within Hamming distance
+    ``max_hamming <= n_bands - 1`` differs in at most that many bands,
+    so by pigeonhole it agrees on at least one full band — the union of
+    per-band equi-joins is *complete*, never approximate. Bucket count
+    is (band value space) x data-driven occupancy, so the join
+    parallelism scales with the data instead of a constant 2^8."""
+    keys = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftrightunsigned(F.col(fp_col), b * width)
+            .bitwiseAND(F.lit((1 << width) - 1))
+            .alias("bucket"),
+        )
+        for b in range(n_bands)
+    ]
+    k = fp.select(
+        "doc_id", F.col(fp_col), F.explode(F.array(*keys)).alias("bk")
+    ).select("doc_id", fp_col, F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket"))
+    l = k.select(
+        F.col("doc_id").alias("left_id"), F.col(fp_col).alias("l_fp"), "band", "bucket"
     )
-    r = keyed.select(
-        F.col("doc_id").alias("right_id"), F.col("simhash").alias("r_fp"), "bucket"
+    r = k.select(
+        F.col("doc_id").alias("right_id"), F.col(fp_col).alias("r_fp"), "band", "bucket"
     )
     return (
-        l.join(r, "bucket")
+        l.join(r, ["band", "bucket"])
         .where(F.col("left_id") < F.col("right_id"))
-        .withColumn(
-            "hamming", F.bit_count(F.col("l_fp").bitwiseXOR(F.col("r_fp")))
-        )
+        .select("left_id", "right_id", "l_fp", "r_fp")
+        .dropDuplicates(["left_id", "right_id"])
+        .withColumn("hamming", F.bit_count(F.col("l_fp").bitwiseXOR(F.col("r_fp"))))
         .where(F.col("hamming") <= max_hamming)
         .select("left_id", "right_id", "hamming")
     )
 
 
-def embedding_near_dup(
-    embs: DataFrame, threshold: float = 0.95, id_col: str = "vec_id", vec_col: str = "embedding"
-) -> DataFrame:
-    """Embedding-cosine near-dup: exact pairwise cosine >= threshold.
-    Brute-force O(n^2) — correct baseline; the scale path buckets first
-    (amp.ann.lsh_topk). Dot products via zip_with/aggregate, JVM-side."""
-    d = embs.select(
+def simhash_near_pairs(docs: DataFrame, bits: int = 16, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by simhash via Hamming-LSH banding: the
+    fingerprint is split into ``max_hamming + 1`` bands and pairs are
+    generated by unioned band-equality equi-joins, then filtered on
+    exact ``bit_count(xor)``. Complete for d <= max_hamming (pigeonhole)
+    — the DuckDB oracle is therefore the clean brute-force spec
+    (all pairs with hamming <= max_hamming), and hash-exactness proves
+    the banding loses nothing."""
+    n_bands = max_hamming + 1
+    if bits % n_bands:
+        raise ValueError(f"bits={bits} must be divisible by bands={n_bands}")
+    return _banded_fp_pairs(simhash(docs, bits), "simhash", n_bands, bits // n_bands, max_hamming)
+
+
+def simhash64(docs: DataFrame) -> DataFrame:
+    """Production-scale 64-bit SimHash: bit j votes per distinct token
+    on bit j of xxhash64(token) (JVM-side, no md5-string parsing).
+    Assembled with bitwise OR of shifted bits — no ANSI overflow on the
+    sign bit. Verified against a brute-force pytest (xxhash64 has no
+    DuckDB twin, so no SQL oracle — the 16-bit md5 variant carries the
+    oracle)."""
+    toks = _distinct_tokens(docs)
+    h = F.xxhash64("token")
+    votes = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftrightunsigned(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"v_{j}")
+            for j in range(64)
+        ]
+    )
+    fp = F.lit(0)
+    for j in range(64):
+        fp = fp.bitwiseOR(
+            F.shiftleft(F.when(F.col(f"v_{j}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long"), j)
+        )
+    return votes.select("doc_id", fp.alias("simhash64"))
+
+
+def simhash64_near_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """64-bit near-pairs with 16-bit Hamming bands (max_hamming=3 ->
+    4 bands x 65536 bucket values): the band key space is large enough
+    that bucket occupancy — and therefore join parallelism — scales
+    with the corpus, the property the 16-bit oracle variant trades away
+    for SQL expressibility."""
+    n_bands = max_hamming + 1
+    if 64 % n_bands:
+        raise ValueError(f"max_hamming+1={n_bands} must divide 64")
+    return _banded_fp_pairs(simhash64(docs), "simhash64", n_bands, 64 // n_bands, max_hamming)
+
+
+def _vec_norm(embs: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    return embs.select(
         F.col(id_col).alias("id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
     ).withColumn(
         # norms once per record, not once per pair (n vs n^2 aggregates)
         "n", F.sqrt(F.expr("aggregate(v, 0.0D, (a, x) -> a + x * x)"))
     )
-    l = d.select(F.col("id").alias("left_id"), F.col("v").alias("lv"), F.col("n").alias("ln"))
-    r = d.select(F.col("id").alias("right_id"), F.col("v").alias("rv"), F.col("n").alias("rn"))
-    dot = F.expr(
-        "aggregate(zip_with(lv, rv, (x, y) -> x * y), 0.0D, (a, v) -> a + v)"
+
+
+def embedding_near_dup(
+    embs: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    tile_size: int = 512,
+    n_tiles: int | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-dup, EXACT semantics: every pair with
+    cosine >= threshold (left_id < right_id). Executed as tiled
+    block-matrix products: vectors are hashed into ~n/tile_size tiles,
+    each tile collected to one row, and every tile pair is one
+    bounded-memory task whose kernel runs a single float64 GEMM and
+    emits only qualifying pairs. Compared to the naive crossJoin this
+    never materializes the n^2 candidate rows and swaps n^2 per-pair
+    fold lambdas for BLAS — but exact all-pairs is inherently O(n^2)
+    work; the scale path with sub-quadratic candidates is
+    ``embedding_lsh_near_dup`` below.
+    """
+    import numpy as np
+    import pandas as pd
+
+    d = _vec_norm(embs, id_col, vec_col)
+    if n_tiles is None:
+        n_tiles = max(1, math.ceil(d.count() / tile_size))
+    g = (
+        d.withColumn("tile", F.pmod(F.xxhash64("id"), F.lit(n_tiles)))
+        .groupBy("tile")
+        .agg(F.collect_list(F.struct("id", "v", "n")).alias("recs"))
     )
+    a = g.select(F.col("tile").alias("ta"), F.col("recs").alias("ra"))
+    b = g.select(F.col("tile").alias("tb"), F.col("recs").alias("rb"))
+    # T x T tile-pair table (upper triangle); tiny, nested-loop join is fine
+    tp = a.join(b, F.col("ta") <= F.col("tb"))
+    thr = float(threshold)
+
+    def kernel(batches):
+        empty = {
+            "left_id": np.array([], dtype=np.int64),
+            "right_id": np.array([], dtype=np.int64),
+            "cos_raw": np.array([], dtype=np.float64),
+        }
+        for pdf in batches:
+            outs = []
+            for ra, rb, same in zip(pdf["ra"], pdf["rb"], (pdf["ta"] == pdf["tb"]).values):
+                ids_a = np.asarray([rec["id"] for rec in ra], dtype=np.int64)
+                ids_b = np.asarray([rec["id"] for rec in rb], dtype=np.int64)
+                A = np.asarray([np.asarray(rec["v"], dtype=np.float64) for rec in ra])
+                B = np.asarray([np.asarray(rec["v"], dtype=np.float64) for rec in rb])
+                na = np.asarray([rec["n"] for rec in ra], dtype=np.float64)
+                nb = np.asarray([rec["n"] for rec in rb], dtype=np.float64)
+                cos = (A @ B.T) / np.outer(na, nb)
+                # pre-filter with slack; the exact round-then-threshold
+                # happens in Spark so the oracle comparison stays bitwise
+                mask = cos >= thr - 1e-6
+                if same:
+                    mask &= ids_a[:, None] < ids_b[None, :]
+                ii, jj = np.nonzero(mask)
+                la, rb_ = ids_a[ii], ids_b[jj]
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "left_id": np.minimum(la, rb_),
+                            "right_id": np.maximum(la, rb_),
+                            "cos_raw": cos[ii, jj],
+                        }
+                    )
+                )
+            yield pd.concat(outs, ignore_index=True) if outs else pd.DataFrame(empty)
+
     return (
-        l.crossJoin(r)
+        tp.mapInPandas(kernel, "left_id long, right_id long, cos_raw double")
+        .withColumn("cosine", F.round("cos_raw", 6))
+        .where(F.col("cosine") >= F.lit(thr))
+        .select("left_id", "right_id", "cosine")
+    )
+
+
+def embedding_lsh_planes(
+    dim: int = 64, bands: int = 2, band_bits: int = 8, seed: int = 7
+) -> list[list[list[float]]]:
+    """Seeded random hyperplanes, grouped per band — shared verbatim by
+    the Spark operator and its DuckDB oracle twin, so the 'approximate'
+    bucketing is a deterministic, exactly-specified function."""
+    from .ann import _hyperplanes
+
+    planes = _hyperplanes(dim, bands * band_bits, seed)
+    return [planes[b * band_bits : (b + 1) * band_bits] for b in range(bands)]
+
+
+def embedding_lsh_near_dup(
+    embs: DataFrame,
+    threshold: float = 0.3,
+    dim: int = 64,
+    bands: int = 2,
+    band_bits: int = 8,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scale-path embedding near-dup: banded random-hyperplane LSH
+    candidates -> exact-cosine verify. Candidate generation is a union
+    of per-band sign-bucket equi-joins (work ~ sum of bucket-size^2,
+    sub-quadratic whenever near-dups cluster), never an all-pairs
+    product. Recall < 1 by construction for mid-range thresholds —
+    gated by tests/test_dedup_scale.py (planted near-dups, recall >=
+    0.95); semantics are still exactly specified because the seeded
+    planes fold into both the plan and the DuckDB oracle."""
+    from .ann import bucket_expr
+
+    plane_groups = embedding_lsh_planes(dim, bands, band_bits, seed)
+    d = _vec_norm(embs, id_col, vec_col)
+    keys = [
+        F.struct(F.lit(bi).alias("band"), bucket_expr("v", pg).alias("bucket"))
+        for bi, pg in enumerate(plane_groups)
+    ]
+    k = d.select("id", F.explode(F.array(*keys)).alias("bk")).select(
+        "id", F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket")
+    )
+    cand = (
+        k.select(F.col("id").alias("left_id"), "band", "bucket")
+        .join(k.select(F.col("id").alias("right_id"), "band", "bucket"), ["band", "bucket"])
         .where(F.col("left_id") < F.col("right_id"))
+        .select("left_id", "right_id")
+        .distinct()
+    )
+    lhs = d.select(F.col("id").alias("left_id"), F.col("v").alias("lv"), F.col("n").alias("ln"))
+    rhs = d.select(F.col("id").alias("right_id"), F.col("v").alias("rv"), F.col("n").alias("rn"))
+    dot = F.expr("aggregate(zip_with(lv, rv, (x, y) -> x * y), 0.0D, (a, v) -> a + v)")
+    return (
+        cand.join(lhs, "left_id")
+        .join(rhs, "right_id")
         .withColumn("cosine", F.round(dot / (F.col("ln") * F.col("rn")), 6))
         .where(F.col("cosine") >= threshold)
         .select("left_id", "right_id", "cosine")
