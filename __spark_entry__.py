@@ -546,19 +546,25 @@ SELECT doc_id,
 FROM documents
 """
 
+    # token-equality marker counts over a once-computed token list —
+    # mirrors text._marker_hits (one tokenize, no per-marker regex scans)
     stop_hits_sql = " + ".join(
-        f"len(regexp_extract_all(lower(text), '\\b{w}\\b'))"
-        for w in LANG_MARKERS["en"]
+        f"len(list_filter(toks, x -> x = '{w}'))" for w in LANG_MARKERS["en"]
     )
     o["text_quality"] = f"""
-WITH base AS (
+WITH tl AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+  FROM documents
+),
+base AS (
   SELECT doc_id,
          length(text)::DOUBLE AS n_chars,
-         len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''))::DOUBLE AS n_tokens,
+         len(toks)::DOUBLE AS n_tokens,
          len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]'))::DOUBLE AS n_punct,
          len(regexp_extract_all(text, '[0-9]'))::DOUBLE AS n_digit,
          ({stop_hits_sql})::DOUBLE AS stop_hits
-  FROM documents
+  FROM tl
 )
 SELECT doc_id,
        round(n_punct / greatest(n_chars, 1.0) + 1e-9, 6) AS punct_ratio,
@@ -577,7 +583,7 @@ FROM base
     lang_hit_cols = ",\n".join(
         "("
         + " + ".join(
-            f"len(regexp_extract_all(lower(text), '\\b{w}\\b'))" for w in LANG_MARKERS[lang]
+            f"len(list_filter(toks, x -> x = '{w}'))" for w in LANG_MARKERS[lang]
         )
         + f")::DOUBLE AS hits_{lang}"
         for lang in sorted(LANG_MARKERS)
@@ -587,7 +593,12 @@ FROM base
         f"WHEN hits_{l} = {best} THEN '{l}'" for l in sorted(LANG_MARKERS)
     )
     o["text_lang_id"] = f"""
-WITH h AS (SELECT doc_id, lang, {lang_hit_cols} FROM documents)
+WITH tl AS (
+  SELECT doc_id, lang,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+  FROM documents
+),
+h AS (SELECT doc_id, lang, {lang_hit_cols} FROM tl)
 SELECT doc_id, lang, {', '.join(f'hits_{l}' for l in sorted(LANG_MARKERS))},
        CASE WHEN {best} <= 0 THEN 'und' {pred_cases} ELSE 'und' END AS pred_lang
 FROM h

@@ -56,12 +56,20 @@ def _lowered(records: DataFrame) -> DataFrame:
 # J1 rewrite: OR-of-equalities -> union of equi-join passes
 # ---------------------------------------------------------------------------
 
-def blocking_pairs(candidates: DataFrame, queries: DataFrame) -> DataFrame:
+def blocking_pairs(
+    candidates: DataFrame, queries: DataFrame, exclude_empty_keys: bool = True
+) -> DataFrame:
     """(query_id, candidate_id) pairs per the match.sql:22-25 predicate,
-    as three equi-join passes. Empty-string keys are excluded from the
-    equality passes they'd otherwise hot-spot (an all-'' phone column
-    must not become a mega-block) — pairs whose only link is an empty
-    attribute are not meaningful blocks."""
+    as three equi-join passes.
+
+    ``exclude_empty_keys`` (default True) is a DOCUMENTED DEVIATION from
+    the literal Postgres predicate: `'' = ''` matches there, so two
+    empty-phone records sharing a state would pair. Empty-string keys
+    are excluded from the equality passes they'd otherwise hot-spot (an
+    all-'' phone column must not become a mega-block at scale) — pairs
+    whose only link is an empty attribute are not meaningful blocks.
+    Pass False for exact literal parity (tested both ways in
+    tests/test_address_pipeline.py)."""
     q = queries.select(
         F.col("customer_id").alias("query_id"), "state", "zip_code", "city", "phone_number"
     )
@@ -71,9 +79,10 @@ def blocking_pairs(candidates: DataFrame, queries: DataFrame) -> DataFrame:
 
     def pas(cols: list[str]):
         qq, cc = q, c
-        for col in cols:
-            qq = qq.where(F.col(col) != "")
-            cc = cc.where(F.col(col) != "")
+        if exclude_empty_keys:
+            for col in cols:
+                qq = qq.where(F.col(col) != "")
+                cc = cc.where(F.col(col) != "")
         return qq.join(cc, cols).select("query_id", "candidate_id")
 
     pairs = (
@@ -232,6 +241,7 @@ def find_potential_matches(
         for pdf in batches:
             n = len(pdf)
             sim = np.zeros(n); dot = np.zeros(n); bin_match = np.zeros(n, dtype=bool)
+            shared = np.zeros(n, dtype=bool)
             for i in range(n):
                 # pgvector cosine DISTANCE (match.sql:21)
                 sim[i] = 1.0 - float(np.dot(pdf["q_emb"].iat[i], pdf["c_emb"].iat[i]))
@@ -239,6 +249,7 @@ def find_potential_matches(
                 # tfidf dot: SUM over shared (entity_type, token) of
                 # q.tfidf * c.tfidf (match.sql:65,71-75)
                 d = 0.0
+                any_shared = False
                 for fld, qt, qtf, ct, ctf in (
                     ("name", "q_nt", "q_ntf", "c_nt", "c_ntf"),
                     ("street", "q_st", "q_stf", "c_st", "c_stf"),
@@ -250,8 +261,10 @@ def find_potential_matches(
                     }
                     for t, tf in zip(pdf[qt].iat[i], pdf[qtf].iat[i]):
                         if t in cw:
+                            any_shared = True
                             d += tf * fidf.get(t, 0.0) * cw[t]
                 dot[i] = d
+                shared[i] = any_shared
             yield pd.DataFrame(
                 {
                     "query_id": pdf["query_id"],
@@ -259,16 +272,28 @@ def find_potential_matches(
                     "similarity": sim,
                     "bin_key_match": bin_match,
                     "tfidf_score": dot,
+                    "has_shared_token": shared,
                 }
             )
 
-    matched = joined.mapInPandas(
-        score_fn,
-        "query_id int, candidate_id int, similarity double, "
-        "bin_key_match boolean, tfidf_score double",
-    ).where(F.col("similarity") <= similarity_threshold)
+    matched = (
+        joined.mapInPandas(
+            score_fn,
+            "query_id int, candidate_id int, similarity double, "
+            "bin_key_match boolean, tfidf_score double, has_shared_token boolean",
+        )
+        .where(F.col("similarity") <= similarity_threshold)
+        # match.sql:68-75 INNER joins customer_tokens per side: a pair
+        # sharing zero (entity_type, token) never reaches the result —
+        # not retained with tfidf_score=0
+        .where(F.col("has_shared_token"))
+        .drop("has_shared_token")
+    )
 
-    w = Window.partitionBy("query_id").orderBy(F.asc("similarity"), F.asc("candidate_id"))
+    # match.sql:66 RANK() OVER (ORDER BY similarity) — ties share a rank
+    # (no hidden candidate_id tie-break), partitioned per query because
+    # the reference runs one query record per statement
+    w = Window.partitionBy("query_id").orderBy(F.asc("similarity"))
     matched = matched.withColumn("rank", F.rank().over(w))
 
     # re-attach the raw fields for the Go-side cosines (matcher.go:160-177)

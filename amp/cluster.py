@@ -134,12 +134,25 @@ def connected_components(
     # k-th iteration would recompute the whole upstream pipeline k times.
     e = e0.localCheckpoint(eager=True)
     sig = _signature(e)
+    converged = False
     for _ in range(cfg.cc_max_iters):
         e = _small_star(_large_star(e)).localCheckpoint(eager=True)
         new_sig = _signature(e)
         if new_sig == sig:
+            converged = True
             break
         sig = new_sig
+    if not converged:
+        # never-drop-silently: a max-iters exit means the clustering may
+        # be over-split (components not fully merged) — surface it
+        import logging
+
+        logging.getLogger("amp.cluster").warning(
+            "connected_components hit cc_max_iters=%d without reaching the "
+            "fixpoint; clustering may be over-split. Raise cc_max_iters "
+            "(converges in O(log n) rounds).",
+            cfg.cc_max_iters,
+        )
 
     roots = e.select(F.col("v").alias("record_id"), F.col("v").alias("cluster_id")).distinct()
     members = e.select(F.col("u").alias("record_id"), F.col("v").alias("cluster_id"))

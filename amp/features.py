@@ -192,6 +192,24 @@ def idf_map(reps: DataFrame, n_docs: int, cfg: AmpConfig = DEFAULT_CONFIG) -> di
     # Arrow-path toPandas: a row-by-row .collect() of a million-token
     # vocabulary serializes through py4j and dominates the whole
     # pipeline wall (measured 29-54s vs ~2s via Arrow)
+    vocab = len(pdf)
+    if vocab > 20_000_000:
+        # ~20M hashes ~= 320MB as a broadcast dict — past this the
+        # driver-bounded path is the wrong plan; fail loudly instead of
+        # OOMing an executor mid-broadcast
+        raise ValueError(
+            f"idf_map: vocabulary has {vocab} hashes — too large to broadcast; "
+            "set AmpConfig.broadcast_idf=False to use the distributed "
+            "postings-join path"
+        )
+    if vocab > 5_000_000:
+        import logging
+
+        logging.getLogger("amp.features").warning(
+            "idf_map: broadcasting %d-entry IDF dict; consider "
+            "broadcast_idf=False (postings-join path) at this vocabulary size",
+            vocab,
+        )
     return dict(zip(pdf["token_hash"].astype("int64"), pdf["idf"].astype("float64")))
 
 

@@ -86,10 +86,13 @@ def normalize_string(s: str) -> str:
     return "".join(ch.lower() for ch in s if ch.isalnum())
 
 
-def ngrams(s: str, n: int) -> list[str]:
-    """ngrams (ngram_similarity.go:39-49): normalize, then char n-grams;
-    whole string if shorter than n."""
-    norm = normalize_string(s)
+def ngrams(s: str, n: int) -> list[bytes]:
+    """ngrams (ngram_similarity.go:39-49): normalize, then n-grams over
+    UTF-8 BYTES — the reference slices Go byte strings, so multi-byte
+    letters that survive normalize_string produce byte-grams, not
+    rune-grams; whole string if shorter than n. (Grams are only ever
+    consumed as Counter keys, so bytes vs str is invisible to callers.)"""
+    norm = normalize_string(s).encode("utf-8")
     if len(norm) < n:
         return [norm]
     return [norm[i : i + n] for i in range(len(norm) - n + 1)]

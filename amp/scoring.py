@@ -157,10 +157,19 @@ def side_features_onepass(
                 if enorm > 0:
                     emb /= enorm
                 order = np.argsort(hashes)
+                h_s, w_s = hashes[order], weights[order]
+                # crc32 collisions can map two distinct tokens to one
+                # hash (~0.2% of docs at the 4096-token cap); merge them
+                # so the sorted-hash arrays satisfy the scorer's
+                # assume_unique=True intersection precondition
+                uh, first = np.unique(h_s, return_index=True)
+                if len(uh) < len(h_s):
+                    w_s = np.add.reduceat(w_s, first)
+                    h_s = uh
                 out["embedding"].append(emb)
-                out["tok_hashes"].append(hashes[order])
-                out["tok_weights"].append(weights[order])
-                out["tok_norm"].append(float(np.sqrt((weights ** 2).sum())))
+                out["tok_hashes"].append(h_s)
+                out["tok_weights"].append(w_s)
+                out["tok_norm"].append(float(np.sqrt((w_s ** 2).sum())))
             yield pd.DataFrame(
                 {
                     "record_id": pdf["record_id"],

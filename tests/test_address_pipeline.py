@@ -114,3 +114,42 @@ def test_blocking_pairs_equal_or_predicate(spark):
             ):
                 want.add((q["customer_id"], c["customer_id"]))
     assert got == want
+
+
+def test_blocking_pairs_literal_empty_string_semantics(spark):
+    """exclude_empty_keys=False reproduces the LITERAL Postgres
+    predicate, where '' = '' matches — two empty-phone records sharing a
+    state DO pair (the deviation the default mode documents away).
+    Ground truth here is the raw match.sql:22-25 boolean with no
+    nonempty carve-out."""
+    from amp.address_pipeline import _lowered, blocking_pairs
+
+    # two empty-phone records sharing only a state: the literal
+    # predicate pairs them via phone '' = '', the default mode does not
+    extra = [
+        (7, "kay", "ruiz", "", "1 A St", "Waco", "TX", "11111"),
+        (8, "lee", "chan", "", "2 B St", "Plano", "TX", "22222"),
+    ]
+    cand = _lowered(spark.createDataFrame(RECORDS + extra, SCHEMA))
+    got = {
+        (r["query_id"], r["candidate_id"])
+        for r in blocking_pairs(cand, cand, exclude_empty_keys=False).collect()
+    }
+    rows = [r.asDict() for r in cand.collect()]
+    want = set()
+    for q in rows:
+        for c in rows:
+            if (c["state"] == q["state"] or c["zip_code"] == q["zip_code"]) and (
+                c["zip_code"] == q["zip_code"]
+                or c["city"] == q["city"]
+                or c["phone_number"] == q["phone_number"]
+            ):
+                want.add((q["customer_id"], c["customer_id"]))
+    assert got == want
+    # the deviation is real on this fixture: empty-phone + same-state
+    # pairs appear only in literal mode
+    strict = {
+        (r["query_id"], r["candidate_id"])
+        for r in blocking_pairs(cand, cand).collect()
+    }
+    assert strict < want
