@@ -258,6 +258,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_lsh_topk"] = q_ann_lsh
 
+    # ---- precomputed-embedding ingest: distance filter + rank ----
+    # (reference match.sql:21,66,79 on provided vectors — the
+    # scoring.attach_embeddings / build_index(embeddings=...) path)
+    def q_match_emb(spark, sf_dir):
+        e = _embs(spark, sf_dir)
+        return ann.provided_embedding_match(
+            e.where(F.col("vec_id") >= 20), e.where(F.col("vec_id") < 20),
+            k=3, max_distance=0.7,
+        )
+
+    q["match_provided_embedding_topk"] = q_match_emb
+
     # ---- text: token counting ----
     q["text_token_counts"] = lambda spark, sf_dir: text.token_counts(
         _docs(spark, sf_dir)
@@ -534,6 +546,22 @@ SELECT query_id, corpus_id, cosine, rnk FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id ASC) AS rnk
   FROM scored
 ) WHERE rnk <= 5
+"""
+
+    o["match_provided_embedding_topk"] = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+         round(1.0 - list_dot_product(q.v, c.v)
+               / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 6) AS distance
+  FROM e q, e c
+  WHERE q.vec_id < 20 AND c.vec_id >= 20
+)
+SELECT query_id, corpus_id, distance, rnk FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY distance ASC, corpus_id ASC) AS rnk
+  FROM scored
+  WHERE distance <= 0.7
+) WHERE rnk <= 3
 """
 
     # token counting — BPE-ish regex must match Spark's Java regex semantics

@@ -68,6 +68,43 @@ def brute_force_topk(
     )
 
 
+def provided_embedding_match(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    max_distance: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Reference match semantics over a PROVIDED (precomputed) embedding
+    column: cosine-DISTANCE filter then rank per query — the Spark form
+    of `embedding <=> $1 <= 0.12` + `RANK() OVER (ORDER BY similarity)`
+    (internal/matcher/match.sql:21,66,79), for users bringing model
+    vectors instead of the hashing-trick ones (the
+    scoring.attach_embeddings ingest path). Query side broadcasts; the
+    corpus streams once and never shuffles."""
+    c = corpus.select(
+        F.col(id_col).alias("corpus_id"), _as_double(vec_col).alias("cv")
+    ).withColumn("cn", _norm("cv"))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")
+    ).withColumn("qn", _norm("qv"))
+    scored = (
+        c.join(F.broadcast(q))
+        .withColumn(
+            "distance",
+            F.round(F.lit(1.0) - _dot("qv", "cv") / (F.col("qn") * F.col("cn")), 6),
+        )
+        .where(F.col("distance") <= max_distance)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("distance"), F.asc("corpus_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("query_id", "corpus_id", "distance", "rnk")
+    )
+
+
 def _hyperplanes(dim: int, bits: int, seed: int = 42) -> list[list[float]]:
     rng = np.random.RandomState(seed)
     return rng.standard_normal((bits, dim)).round(6).tolist()

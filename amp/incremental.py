@@ -21,34 +21,104 @@ run-0 bootstrap (cmd/addressmatchpro/main.go:92-173).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import dataclasses
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import blocking, features, normalize, rank, scoring
+from .checkpoint import CheckpointManager
 from .config import AmpConfig, DEFAULT_CONFIG
 
 
 class MatchIndex:
     """Materialized candidate space (the reference's run 0)."""
 
-    def __init__(self, records: DataFrame, sides: DataFrame, idf: dict[int, float], cfg: AmpConfig):
+    def __init__(
+        self,
+        records: DataFrame,
+        sides: DataFrame,
+        idf: dict[int, float],
+        cfg: AmpConfig,
+        uses_provided_embeddings: bool = False,
+    ):
         self.records = records
         self.sides = sides
         self.idf = idf
         self.cfg = cfg
+        # when True, every query batch must bring vectors of the same
+        # model/dim (match_records query_embeddings=...) — pair scoring
+        # dots left x right vectors and mixed dims would score garbage
+        self.uses_provided_embeddings = uses_provided_embeddings
+
+    # -- durability (reference: run-0 bootstrap persists to Postgres
+    # feature tables, cmd/addressmatchpro/main.go:92-173; here the
+    # CheckpointManager's partitioned-parquet/Iceberg layout) ----------
+    def save(self, root: str) -> None:
+        """Persist records + feature sides + frozen IDF dict + config so
+        the run-0 bootstrap survives the session — ``localCheckpoint``
+        alone is executor-memory-scoped."""
+        spark = self.records.sparkSession
+        ck = CheckpointManager(spark, root, run_id=0)
+        ck.write(self.records, "index_records")
+        ck.write(self.sides, "index_sides")
+        items = sorted(self.idf.items())
+        idf_df = spark.createDataFrame(
+            [(int(k), float(v)) for k, v in items] or [(0, 0.0)],
+            "token_hash long, idf double",
+        )
+        ck.write(idf_df, "index_idf")
+        with open(os.path.join(root, "index_config.json"), "w") as fh:
+            json.dump(
+                {
+                    "cfg": dataclasses.asdict(self.cfg),
+                    "uses_provided_embeddings": self.uses_provided_embeddings,
+                },
+                fh,
+            )
+
+    @classmethod
+    def load(cls, spark: SparkSession, root: str) -> "MatchIndex":
+        with open(os.path.join(root, "index_config.json")) as fh:
+            meta = json.load(fh)
+        cfg = AmpConfig(**meta["cfg"])
+        ck = CheckpointManager(spark, root, run_id=0)
+        records = ck.read("index_records")
+        # checkpointed tables come back with the run_id partition column;
+        # sides must match the query batch's schema for the union
+        sides = ck.read("index_sides").drop("run_id")
+        idf_rows = ck.read("index_idf").collect()
+        idf = {int(r["token_hash"]): float(r["idf"]) for r in idf_rows}
+        return cls(
+            records, sides, idf, cfg,
+            uses_provided_embeddings=meta.get("uses_provided_embeddings", False),
+        )
 
 
-def build_index(files: DataFrame, cfg: AmpConfig = DEFAULT_CONFIG) -> MatchIndex:
+def build_index(
+    files: DataFrame,
+    cfg: AmpConfig = DEFAULT_CONFIG,
+    embeddings: DataFrame | None = None,
+) -> MatchIndex:
     """Offline bootstrap of the candidate space (reference main.go:92-173):
     normalize -> representatives -> IDF dict -> one-pass features.
     The IDF dictionary is frozen here and reused for query batches —
     same semantics as the reference, which computes IDF over run 0 only
-    (make_tf_idf.go:75-168) and weighs query tokens with it."""
+    (make_tf_idf.go:75-168) and weighs query tokens with it.
+    ``embeddings`` ingests precomputed semantic vectors
+    (scoring.attach_embeddings)."""
     records = normalize.normalize(files, cfg, run_id=0).localCheckpoint(eager=True)
     reps = normalize.representatives(records).localCheckpoint(eager=True)
     idf = features.idf_map(reps, reps.count(), cfg)
-    sides = scoring.side_features_onepass(reps, idf, cfg).localCheckpoint(eager=True)
-    return MatchIndex(records, sides, idf, cfg)
+    sides = scoring.side_features_onepass(reps, idf, cfg)
+    if embeddings is not None:
+        sides = scoring.attach_embeddings(sides, embeddings)
+    sides = sides.localCheckpoint(eager=True)
+    return MatchIndex(
+        records, sides, idf, cfg, uses_provided_embeddings=embeddings is not None
+    )
 
 
 def _blocks_for(sides: DataFrame, reps_like: DataFrame, cfg: AmpConfig) -> DataFrame:
@@ -63,6 +133,7 @@ def match_records(
     query_files: DataFrame,
     run_id: int = 1,
     top_n: int | None = None,
+    query_embeddings: DataFrame | None = None,
 ) -> DataFrame:
     """Match a query batch against the index (reference §3.1/§3.2).
 
@@ -72,10 +143,18 @@ def match_records(
     form; see rank.global_top_n for exact single-request parity).
     """
     cfg = index.cfg
+    if index.uses_provided_embeddings and query_embeddings is None:
+        raise ValueError(
+            "match_records: the index was built with provided embeddings; "
+            "pass query_embeddings (record_id, embedding) of the same "
+            "model/dim for the query batch"
+        )
     q_records = normalize.normalize(query_files, cfg, run_id=run_id).localCheckpoint(
         eager=True
     )
     q_sides = scoring.side_features_onepass(q_records, index.idf, cfg)
+    if query_embeddings is not None:
+        q_sides = scoring.attach_embeddings(q_sides, query_embeddings)
 
     # blocking: query side vs index side ONLY (match.sql:30-31 semantics)
     q_blocks = _blocks_for(q_sides, q_records, cfg).select(

@@ -50,13 +50,36 @@ def _fake_decode_allowed() -> bool:
     return os.environ.get("AMP_FAKE_DECODE", "1") == "1"
 
 
+try:  # optional dependency: real image decode when Pillow is installed
+    from PIL import Image as _PILImage  # type: ignore
+
+    HAVE_PIL = True
+except ImportError:
+    _PILImage = None
+    HAVE_PIL = False
+
+
 def _decode_image(payload: bytes, allow_fake: bool = True) -> np.ndarray:
-    """STUB: real impl would be PIL.Image.open(io.BytesIO(payload)).
-    The deterministic fake derives an 8x8 'pixel' grid from the bytes so
-    downstream shapes/statistics are stable and testable."""
+    """Decode a payload to a normalized 8x8 float grayscale grid.
+
+    Real path (when Pillow is importable): PIL open -> grayscale ->
+    8x8 resize. Payloads that fail to parse fall back to the
+    deterministic fake when allowed (a corrupt image must not kill a
+    100-TB pass; the fake is a stable content-derived stand-in), else
+    re-raise. Without Pillow: deterministic fake behind
+    AMP_FAKE_DECODE, NotImplementedError otherwise."""
+    if HAVE_PIL:
+        import io as _io
+
+        try:
+            img = _PILImage.open(_io.BytesIO(payload or b"")).convert("L").resize((8, 8))
+            return np.asarray(img, dtype=np.float32) / 255.0
+        except Exception:
+            if not allow_fake:
+                raise
     if not allow_fake:
         raise NotImplementedError(
-            "image decode requires PIL/opencv — not in this container; "
+            "image decode requires PIL — not installed; "
             "set AMP_FAKE_DECODE=1 for the deterministic fake"
         )
     h = hashlib.sha256(payload or b"").digest()

@@ -28,8 +28,15 @@ def run_pipeline(
     cfg: AmpConfig = DEFAULT_CONFIG,
     run_id: int = 0,
     checkpoint_root: str | None = None,
+    embeddings: DataFrame | None = None,
 ) -> dict[str, DataFrame]:
-    """Returns every stage's DataFrame keyed by stage name."""
+    """Returns every stage's DataFrame keyed by stage name.
+
+    ``embeddings`` (record_id, embedding array) ingests PRECOMPUTED
+    semantic vectors — they replace the hashing-trick embeddings in the
+    feature table (scoring.attach_embeddings; total coverage required),
+    the hook for bringing reference-style model vectors
+    (python-ml/generate_embeddings.py) instead of hashed ones."""
     ck = CheckpointManager(spark, checkpoint_root, run_id) if checkpoint_root else None
 
     def stage(name: str, thunk):
@@ -61,7 +68,10 @@ def run_pipeline(
         # -- default path: broadcast IDF dict + one-pass feature kernel --
         def _sides():
             idf = features.idf_map(reps, reps.count(), cfg)
-            return scoring.side_features_onepass(reps, idf, cfg)
+            s = scoring.side_features_onepass(reps, idf, cfg)
+            if embeddings is not None:
+                s = scoring.attach_embeddings(s, embeddings)
+            return s
 
         sides = stage("sides", _sides)
         if ck is None:
@@ -100,6 +110,8 @@ def run_pipeline(
         ptf = stage("pair_tfidf", lambda: features.pair_tfidf(pairs, post))
         embs = stage("embeddings", lambda: features.embeddings(reps, cfg))
         sides = scoring.side_features(reps, sigs, embs)
+        if embeddings is not None:
+            sides = scoring.attach_embeddings(sides, embeddings)
         if ck is None:
             sides = pin(sides)
         scored = stage("scored", lambda: scoring.score_pairs(pairs, sides, ptf, cfg))

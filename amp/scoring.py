@@ -184,6 +184,47 @@ def side_features_onepass(
     )
 
 
+def attach_embeddings(
+    sides: DataFrame,
+    provided: DataFrame,
+    id_col: str = "record_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Ingest hook for PRECOMPUTED semantic embeddings: replace the
+    hashing-trick vectors in a feature table with user-provided ones
+    (unit-normalized JVM-side), closing the gap to the reference's
+    spaCy 300-d vectors (python-ml/generate_embeddings.py:43,63-67
+    feeding match.sql:21's cosine-distance filter) — bring-your-own
+    model, same record -> vector -> cosine shape.
+
+    Coverage must be total: the pair scorer dots left x right vectors,
+    so mixing provided-dim and hash-dim vectors across records would
+    score garbage (or crash) on mixed pairs. A provided table that
+    misses records is a hard error, never a silent fallback."""
+    p = provided.select(
+        F.col(id_col).alias("record_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("float")).alias("p_emb"),
+    )
+    # coverage check on pruned id columns only (the full feature rows
+    # are never materialized for this validation action)
+    n_missing = (
+        sides.select("record_id").join(p.select("record_id"), "record_id", "left_anti").count()
+    )
+    if n_missing:
+        raise ValueError(
+            f"attach_embeddings: {n_missing} records have no provided embedding; "
+            "provided vectors must cover every record (no mixed-dim scoring)"
+        )
+    joined = sides.drop("embedding").join(p, "record_id", "left")
+    norm = F.sqrt(
+        F.expr("aggregate(p_emb, 0.0D, (a, x) -> a + cast(x as double) * cast(x as double))")
+    )
+    unit = F.when(norm > 0, F.transform(F.col("p_emb"), lambda x: (x / norm).cast("float"))).otherwise(
+        F.col("p_emb")
+    )
+    return joined.withColumn("embedding", unit).drop("p_emb")
+
+
 def side_features(reps: DataFrame, sigs: DataFrame, embs: DataFrame) -> DataFrame:
     """Join-based feature assembly (used by the postings-join scale
     path). Downstream, pairs join this table twice (left/right side) —

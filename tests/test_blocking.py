@@ -85,3 +85,61 @@ def test_minhash_identical_content_same_bands(spark):
     sigs = blocking.minhash_signatures(reps, CFG)
     s1, s2 = [r["sig"] for r in sigs.collect()]
     assert s1 == s2
+
+
+def test_adversarial_skew_cap_salt_and_surfaced_drops(spark):
+    """Adversarial mega-block corpus (license-boilerplate shape): every
+    doc in group A shares all minhash bands -> one 200-member block that
+    must be CAPPED (dropped from pair-gen, surfaced in dropped_blocks);
+    group B (40 near-identical docs) exceeds salt_block_size -> salted
+    pair-gen; group C is a plain small block. The emitted pair set must
+    equal the per-key ground truth over kept blocks exactly."""
+    from pyspark.sql import functions as F
+
+    from amp import blocking
+    from amp.config import DEFAULT_CONFIG as CFG
+
+    boiler_a = " ".join(f"alpha{i}" for i in range(120))
+    boiler_b = " ".join(f"beta{i}" for i in range(120))
+    boiler_c = " ".join(f"gamma{i}" for i in range(120))
+    rows = (
+        [(f"a{i:04d}", boiler_a, "py", f"fa{i}") for i in range(200)]
+        + [(f"b{i:04d}", boiler_b, "go", f"fb{i}") for i in range(40)]
+        + [(f"c{i:04d}", boiler_c, "js", f"fc{i}") for i in range(10)]
+    )
+    reps = spark.createDataFrame(
+        rows, "record_id string, norm_text string, lang string, stem string"
+    )
+    sigs = blocking.minhash_signatures(reps, CFG)
+    blocks = blocking.all_blocks(reps, sigs, CFG)
+    stats = blocking.block_stats(blocks).cache()
+
+    # the mega-block exists and the cap catches it — never silently
+    assert stats.agg(F.max("block_size")).collect()[0][0] >= 200
+    dropped = blocking.dropped_blocks(stats, CFG).collect()
+    assert dropped and all(r["block_size"] > CFG.max_block_size for r in dropped)
+
+    # ground truth: pairs per kept key (1 < size <= max_block_size)
+    key_members: dict = {}
+    for r in blocks.collect():
+        key_members.setdefault(r["block_key"], set()).add(r["record_id"])
+    want = set()
+    n_salted_keys = 0
+    for members in key_members.values():
+        if 1 < len(members) <= CFG.max_block_size:
+            if len(members) > CFG.salt_block_size:
+                n_salted_keys += 1
+            ms = sorted(members)
+            for i in range(len(ms)):
+                for j in range(i + 1, len(ms)):
+                    want.add((ms[i], ms[j]))
+    assert n_salted_keys > 0, "fixture must exercise the salted regime"
+
+    got = {
+        (r["left_id"], r["right_id"])
+        for r in blocking.candidate_pairs(blocks, CFG, stats).collect()
+    }
+    assert got == want
+    # capped group contributes nothing; salted group B fully paired
+    assert not any(l.startswith("a") for l, _ in got)
+    assert sum(1 for l, r in got if l.startswith("b") and r.startswith("b")) == 40 * 39 // 2

@@ -76,3 +76,86 @@ def test_csv_roundtrip_preserves_content_sha(spark, small_corpus, tmp_path_facto
     a = normalize.normalize(sample, CFG).select("record_id", "content_sha")
     b = normalize.normalize(back, CFG).select("record_id", "content_sha")
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_index_save_load_identical_matches(spark, small_corpus, index, tmp_path_factory):
+    """Durable run-0 bootstrap (reference main.go:92-173): save ->
+    load -> match_records must reproduce the in-memory index's results
+    exactly."""
+    from amp.incremental import MatchIndex
+
+    files, _ = small_corpus
+    root = str(tmp_path_factory.mktemp("index_ck"))
+    index.save(root)
+    loaded = MatchIndex.load(spark, root)
+    assert loaded.idf == index.idf
+    assert loaded.cfg == index.cfg
+
+    q = files.limit(15)
+    key = lambda r: (r["query_id"], r["candidate_id"])  # noqa: E731
+    got_mem = sorted(
+        (tuple(r) for r in match_records(index, q, run_id=9, top_n=5).collect()),
+        key=lambda t: (t[0], t[1]),
+    )
+    got_disk = sorted(
+        (tuple(r) for r in match_records(loaded, q, run_id=9, top_n=5).collect()),
+        key=lambda t: (t[0], t[1]),
+    )
+    assert got_mem == got_disk
+
+
+def test_build_index_with_provided_embeddings(spark, small_corpus):
+    """Precomputed-embedding ingest: provided vectors replace the
+    hashing-trick ones (unit-normalized), and the match path runs on
+    them end-to-end."""
+    import numpy as np
+
+    from amp import normalize
+    from amp.incremental import build_index
+
+    files, _ = small_corpus
+    recs = normalize.normalize(files, CFG, run_id=0)
+    reps_ids = [r["record_id"] for r in
+                normalize.representatives(recs).select("record_id").collect()]
+    rng = np.random.RandomState(13)
+    prov = spark.createDataFrame(
+        [(rid, [float(x) for x in rng.standard_normal(8)]) for rid in sorted(reps_ids)],
+        "record_id string, embedding array<float>",
+    )
+    idx = build_index(files, CFG, embeddings=prov)
+    # every side vector is unit-norm and 8-dim (the provided dim, not cfg.emb_dim)
+    import math
+
+    sample = idx.sides.select("record_id", "embedding").limit(20).collect()
+    for r in sample:
+        assert len(r["embedding"]) == 8
+        n = math.sqrt(sum(float(x) ** 2 for x in r["embedding"]))
+        assert n == pytest.approx(1.0, abs=1e-5)
+    # match requires query-side vectors of the same model/dim
+    qfiles = files.limit(5)
+    with pytest.raises(ValueError, match="provided embeddings"):
+        match_records(idx, qfiles, run_id=11, top_n=3)
+    q_ids = [r["record_id"] for r in
+             normalize.normalize(qfiles, CFG, run_id=11).select("record_id").collect()]
+    q_prov = spark.createDataFrame(
+        [(rid, [float(x) for x in rng.standard_normal(8)]) for rid in sorted(q_ids)],
+        "record_id string, embedding array<float>",
+    )
+    out = match_records(idx, qfiles, run_id=11, top_n=3, query_embeddings=q_prov)
+    assert out.count() > 0
+
+
+def test_attach_embeddings_requires_full_coverage(spark, small_corpus):
+    from amp import normalize, scoring
+    from amp.features import idf_map
+
+    files, _ = small_corpus
+    reps = normalize.representatives(normalize.normalize(files, CFG, run_id=0))
+    idf = idf_map(reps, reps.count(), CFG)
+    sides = scoring.side_features_onepass(reps, idf, CFG)
+    one_id = reps.select("record_id").limit(1).collect()[0][0]
+    partial = spark.createDataFrame(
+        [(one_id, [1.0, 0.0])], "record_id string, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="no provided embedding"):
+        scoring.attach_embeddings(sides, partial)

@@ -71,3 +71,28 @@ def test_frame_sample_row_counts(spark):
     for r in rows:
         dur = vids[r["media_id"]]
         assert r["count"] == (dur - 1) // 1000 + 1
+
+
+def test_decode_real_path_when_pil_else_fake(spark):
+    """Real decode runs when Pillow is importable (grayscale 8x8 via
+    PIL), deterministic fake otherwise — same plumbing either way."""
+    import numpy as np
+
+    from amp import multimodal as mm
+
+    if mm.HAVE_PIL:
+        import io as _io
+
+        from PIL import Image
+
+        buf = _io.BytesIO()
+        Image.new("L", (32, 32), color=200).save(buf, format="PNG")
+        grid = mm._decode_image(buf.getvalue(), allow_fake=False)
+        assert grid.shape == (8, 8)
+        assert np.allclose(grid, 200.0 / 255.0, atol=1e-6)
+    else:
+        with pytest.raises(NotImplementedError):
+            mm._decode_image(b"not-an-image", allow_fake=False)
+        g1 = mm._decode_image(b"payload")
+        g2 = mm._decode_image(b"payload")
+        assert g1.shape == (8, 8) and (g1 == g2).all()
