@@ -258,6 +258,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_lsh_topk"] = q_ann_lsh
 
+    # ---- similarity search: IVF inverted lists (alternate scale path) ----
+    # deterministic build (centroids = 16 lowest-id vectors) -> the
+    # assignment + probing + top-k is exactly specified and DuckDB
+    # oracle-checked; swap trained k-means centroids in via the
+    # `centroids` parameter with an identical plan
+    def q_ann_ivf(spark, sf_dir):
+        e = _embs(spark, sf_dir)
+        return ann.ivf_topk(
+            e, e.where(F.col("vec_id") < 10), k=5, n_centroids=16, n_probe=4
+        )
+
+    q["ann_ivf_topk"] = q_ann_ivf
+
     # ---- precomputed-embedding ingest: distance filter + rank ----
     # (reference match.sql:21,66,79 on provided vectors — the
     # scoring.attach_embeddings / build_index(embeddings=...) path)
@@ -541,6 +554,38 @@ WITH scored AS (
                   * sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))), 6) AS cosine
   FROM embeddings q, embeddings c
   WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id
+)
+SELECT query_id, corpus_id, cosine, rnk FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id ASC) AS rnk
+  FROM scored
+) WHERE rnk <= 5
+"""
+
+    # IVF: nearest-centroid assignment (squared-L2, ties -> lower id),
+    # queries probe 4 nearest lists, exact cosine top-5 inside them
+    o["ann_ivf_topk"] = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (SELECT vec_id AS c, v AS cv FROM e WHERE vec_id < 16),
+cd AS (
+  SELECT e.vec_id, cent.c,
+         list_sum(list_transform(range(1, 65), i -> (e.v[i] - cent.cv[i]) ^ 2)) AS d
+  FROM e, cent
+),
+ranked AS (
+  SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, c ASC) AS rn
+  FROM cd
+),
+assign AS (SELECT vec_id, c AS list_id FROM ranked WHERE rn = 1),
+probes AS (SELECT vec_id AS query_id, c AS list_id FROM ranked WHERE vec_id < 10 AND rn <= 4),
+scored AS (
+  SELECT p.query_id, a.vec_id AS corpus_id,
+         round(list_dot_product(q.v, t.v)
+               / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(t.v, t.v))), 6) AS cosine
+  FROM probes p
+  JOIN assign a ON a.list_id = p.list_id
+  JOIN e q ON q.vec_id = p.query_id
+  JOIN e t ON t.vec_id = a.vec_id
+  WHERE a.vec_id <> p.query_id
 )
 SELECT query_id, corpus_id, cosine, rnk FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id ASC) AS rnk

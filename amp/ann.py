@@ -105,6 +105,86 @@ def provided_embedding_match(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF-style ANN: partition the corpus into inverted lists by
+    nearest centroid; queries probe only the ``n_probe`` nearest lists,
+    then exact cosine + top-k inside them — work per query is
+    ~n * n_probe / n_centroids instead of n.
+
+    BUILD phase: ``centroids`` defaults to the ``n_centroids``
+    lowest-id corpus vectors — a deterministic, oracle-checkable
+    stand-in for trained k-means centroids (swap trained ones in via
+    the parameter; list structure and query plan are identical). The
+    build collects only C tiny rows once; centroid literals then fold
+    into the plan, so list ASSIGNMENT is a pure scan-side projection —
+    no shuffle, no per-row driver work. Recall is tunable via n_probe
+    (n_probe == n_centroids degenerates to exact brute force)."""
+    if centroids is None:
+        rows = (
+            corpus.select(F.col(id_col).alias("i"), _as_double(vec_col).alias("v"))
+            .where(F.col("i") < n_centroids)
+            .orderBy("i")
+            .collect()
+        )
+        centroids = [list(r["v"]) for r in rows]
+    if len(centroids) < n_probe:
+        raise ValueError("n_probe exceeds centroid count")
+
+    def _dist_to(vc: str, cent: list[float]):
+        lits = ",".join(repr(float(x)) for x in cent)
+        return F.expr(
+            f"aggregate(zip_with({vc}, array({lits}), (x, y) -> (x - y) * (x - y)), "
+            f"0.0D, (a, v) -> a + v)"
+        )
+
+    def _ranked_lists(vc: str):
+        """array of centroid ids ordered by distance (ties -> lower id),
+        as a pure projection over centroid literals (array_sort on
+        struct<d,c> orders lexicographically)."""
+        pairs = F.array(
+            *[
+                F.struct(_dist_to(vc, c).alias("d"), F.lit(j).alias("c"))
+                for j, c in enumerate(centroids)
+            ]
+        )
+        return F.transform(F.array_sort(pairs), lambda s: s["c"])
+
+    c = corpus.select(
+        F.col(id_col).alias("corpus_id"), _as_double(vec_col).alias("cv")
+    ).withColumn("list_id", _ranked_lists("cv")[0]).withColumn(
+        "cn", _norm("cv")
+    )
+    q = (
+        queries.select(F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv"))
+        .withColumn("probe_lists", F.slice(_ranked_lists("qv"), 1, n_probe))
+        .withColumn("list_id", F.explode("probe_lists"))
+        .withColumn("qn", _norm("qv"))
+        .select("query_id", "qv", "qn", "list_id")
+    )
+    scored = (
+        c.join(F.broadcast(q), "list_id")
+        .where(F.col("query_id") != F.col("corpus_id"))
+        .withColumn(
+            "cosine", F.round(_dot("qv", "cv") / (F.col("qn") * F.col("cn")), 6)
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("corpus_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("query_id", "corpus_id", "cosine", "rnk")
+    )
+
+
 def _hyperplanes(dim: int, bits: int, seed: int = 42) -> list[list[float]]:
     rng = np.random.RandomState(seed)
     return rng.standard_normal((bits, dim)).round(6).tolist()

@@ -51,13 +51,27 @@ def single_record(spark: SparkSession, repo: str, path: str, commit: str, lang: 
     )
 
 
-def write_results(df: DataFrame, path: str, fmt: str = "parquet", partition_by: tuple[str, ...] = ("run_id",)) -> None:
+def write_results(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    partition_by: tuple[str, ...] = ("run_id",),
+    sort_within_partitions: tuple[str, ...] = (),
+) -> None:
     """S11 + S8 semantics: idempotent partition overwrite (the
     reference DELETEs the run's partition then re-inserts,
     shared.go:244-256; dynamic partition overwrite is the same
-    contract in one atomic-ish write)."""
+    contract in one atomic-ish write).
+
+    ``sort_within_partitions`` is the O3 write-locality sort (the
+    reference's clustered-index insert order): rows are ordered inside
+    each output file WITHOUT a global shuffle — min/max column stats in
+    parquet footers then prune reads on those columns."""
     spark = df.sparkSession
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    sort_cols = [c for c in sort_within_partitions if c in df.columns]
+    if sort_cols:
+        df = df.sortWithinPartitions(*sort_cols)
     w = df.write.mode("overwrite")
     cols = [c for c in partition_by if c in df.columns]
     if cols:

@@ -213,15 +213,20 @@ def representatives(records: DataFrame) -> DataFrame:
     contents, and they are removed *before* blocking. The reference
     has no analog (its demo data is small); at 10^12 files this is
     the single biggest pair-count lever.
-    """
-    from pyspark.sql import Window
 
-    w = Window.partitionBy("content_sha").orderBy("record_id")
-    return (
-        records.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .drop("_rn")
+    Plan shape: a window over content_sha would shuffle every FULL
+    record row (fat norm_text strings — measured ~0.4 GB at 280k
+    records, the #2 shuffle in the stage budget). Instead the winner
+    ids are computed on two pruned columns (content_sha, record_id)
+    and semi-joined back: the winner-id table is record-count-sized
+    and AQE broadcasts it at local/modest scale, so the fat rows never
+    shuffle at all; at 10^12 files the semi join degrades gracefully
+    to a sort-merge on record_id — never worse than the window.
+    """
+    winners = records.groupBy("content_sha").agg(
+        F.min("record_id").alias("record_id")
     )
+    return records.join(winners.select("record_id"), "record_id", "leftsemi")
 
 
 def exact_edges(records: DataFrame) -> DataFrame:

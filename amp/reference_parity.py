@@ -119,6 +119,48 @@ def ngram_frequency_similarity(s1: str, s2: str, n: int = 2) -> float:
     return cosine_similarity_ngrams(ngrams(s1, n), ngrams(s2, n))
 
 
+def derive_anchors(
+    streets: list[str], k: int = 10, seed: int = 42, iters: int = 25
+) -> list[str]:
+    """Regenerate binary-key anchor strings for a NEW domain — the
+    public-knowledge analog of the reference's anchor derivation
+    (python-ml/reference_entities.py: KMeans over street vectors, the
+    winners frozen into scripts/init_db.sql:138-150). Lloyd's KMeans
+    over hashing-trick embeddings (no model downloads), seeded init and
+    fixed iteration budget so the output is deterministic; each
+    cluster contributes its nearest-to-centroid street. Feed the result
+    to calculate_binary_key(street, refs=...)."""
+    import numpy as np
+
+    from .address_pipeline import _embed
+
+    uniq = sorted(set(s for s in streets if s))
+    if len(uniq) < k:
+        raise ValueError(f"need at least k={k} distinct non-empty streets, got {len(uniq)}")
+    X = np.stack([_embed(s.lower()) for s in uniq])
+    rng = np.random.RandomState(seed)
+    centroids = X[rng.choice(len(uniq), size=k, replace=False)]
+    for _ in range(iters):
+        d = ((X[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for j in range(k):
+            members = X[assign == j]
+            if len(members):
+                centroids[j] = members.mean(axis=0)
+    d = ((X[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+    anchors = []
+    taken: set[int] = set()
+    for j in range(k):
+        # nearest not-yet-taken street to centroid j (clusters can be
+        # empty after Lloyd steps; argsort makes the pick total)
+        for idx in np.argsort(d[:, j]):
+            if int(idx) not in taken:
+                taken.add(int(idx))
+                anchors.append(uniq[int(idx)])
+                break
+    return anchors
+
+
 # scripts/init_db.sql:138-150 — the 10 anchor strings for the binary key
 REFERENCE_ENTITIES = [
     "9533 little forest",

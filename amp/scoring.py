@@ -93,9 +93,17 @@ def jaro_winkler_udf(s1: pd.Series, s2: pd.Series) -> pd.Series:
 # one-pass per-record feature kernel
 # ---------------------------------------------------------------------------
 
+# Transport-compact dtypes: the feature table is shipped through the
+# pair join TWICE (left/right side), so its row width is the #1 shuffle
+# item in the stage budget (measured ~1.6 GB read at 280k records with
+# int64/float64 arrays). int32 minhash folds / token hashes and float32
+# weights halve that; the extra hash-collision mass (2^-31-scale per
+# position) is far below the Jaccard-estimate and score-threshold
+# resolution, and token-hash collisions are merged (weights summed)
+# exactly like native crc32 collisions.
 SIDE_SCHEMA = (
-    "record_id string, stem string, lang string, sig array<long>, "
-    "embedding array<float>, tok_hashes array<long>, tok_weights array<double>, "
+    "record_id string, stem string, lang string, sig array<int>, "
+    "embedding array<float>, tok_hashes array<int>, tok_weights array<float>, "
     "tok_norm double"
 )
 
@@ -140,7 +148,10 @@ def side_features_onepass(
                 else:
                     shingles = {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
                 h = np.fromiter((zlib.crc32(s.encode()) for s in shingles), dtype=np.int64)
-                out["sig"].append(((a_arr * h[None, :] + b_arr) % _MERSENNE_P).min(axis=1))
+                sig64 = ((a_arr * h[None, :] + b_arr) % _MERSENNE_P).min(axis=1)
+                # fold to int32 for transport: positional agreement is
+                # preserved exactly; disagreement collides at 2^-31
+                out["sig"].append((sig64 & 0x7FFFFFFF).astype(np.int32))
                 # --- hashing-trick embedding + tf-idf vector ---
                 emb = np.zeros(dim, dtype=np.float32)
                 c = Counter(toks)
@@ -156,19 +167,20 @@ def side_features_onepass(
                 enorm = float(np.linalg.norm(emb))
                 if enorm > 0:
                     emb /= enorm
-                order = np.argsort(hashes)
-                h_s, w_s = hashes[order], weights[order]
-                # crc32 collisions can map two distinct tokens to one
-                # hash (~0.2% of docs at the 4096-token cap); merge them
-                # so the sorted-hash arrays satisfy the scorer's
-                # assume_unique=True intersection precondition
+                # int32 wrap for transport, then sort/merge on the
+                # WRAPPED values so both sides intersect consistently;
+                # collisions (native crc32 or wrap-induced) merge their
+                # weights so the scorer's assume_unique precondition holds
+                h32 = hashes.astype(np.uint32).view(np.int32)
+                order = np.argsort(h32)
+                h_s, w_s = h32[order], weights[order]
                 uh, first = np.unique(h_s, return_index=True)
                 if len(uh) < len(h_s):
                     w_s = np.add.reduceat(w_s, first)
                     h_s = uh
                 out["embedding"].append(emb)
                 out["tok_hashes"].append(h_s)
-                out["tok_weights"].append(w_s)
+                out["tok_weights"].append(w_s.astype(np.float32))
                 out["tok_norm"].append(float(np.sqrt((w_s ** 2).sum())))
             yield pd.DataFrame(
                 {
@@ -285,8 +297,16 @@ def score_pairs_onepass(
             for i in range(n):
                 lh, rh = pdf["l_th"].iat[i], pdf["r_th"].iat[i]
                 lw, rw = pdf["l_tw"].iat[i], pdf["r_tw"].iat[i]
-                _, li, ri = np.intersect1d(lh, rh, assume_unique=True, return_indices=True)
-                d = float(np.dot(lw[li], rw[ri])) if len(li) else 0.0
+                # arrays arrive sorted+unique from side_features_onepass:
+                # searchsorted intersection, no per-pair re-sort
+                # (np.intersect1d sorts the concatenation every call)
+                if len(lh) and len(rh):
+                    pos = np.searchsorted(lh, rh)
+                    pos_c = np.minimum(pos, len(lh) - 1)
+                    mask = lh[pos_c] == rh
+                    d = float(np.dot(lw[pos_c[mask]], rw[mask])) if mask.any() else 0.0
+                else:
+                    d = 0.0
                 dots[i] = d
                 denom = pdf["l_tn"].iat[i] * pdf["r_tn"].iat[i]
                 coss[i] = d / denom if denom > 0 else 0.0

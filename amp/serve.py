@@ -1,0 +1,159 @@
+"""Request-facing front door — the Spark analog of the reference's
+HTTP API (pkg/api/router.go:38-42, pkg/api/handler.go:54-163):
+
+  POST /api/v1/match       single record (JSON) or batch (JSON list)
+  POST /api/v1/duplicates  run-0 self-dedup -> entity clusters
+  GET  /healthz
+
+The reference serves gin handlers over Postgres; here a stdlib
+http.server adapter wraps a MatchIndex living in the driver's
+SparkSession (a long-running `spark-submit` app — the same deployment
+shape as the reference's single binary). Request batches become run_id
+> 0 query DataFrames, exactly the reference's run lifecycle
+(match.sql:30-31). No web framework dependency: the serving layer is a
+thin adapter; all matching semantics live in amp.incremental.
+
+Scale note: per-request Spark jobs on a shared session are fine for
+the reference's interactive shapes (single/batch match); bulk dedup is
+the offline pipeline (amp.pipeline), not a request.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, HTTPServer
+
+from pyspark.sql import SparkSession
+
+from . import io as amp_io
+from .config import AmpConfig, DEFAULT_CONFIG
+from .incremental import MatchIndex, build_index, match_records
+
+REQUIRED_FIELDS = ("repo", "path", "commit", "lang", "content")
+
+
+class MatchService:
+    """Transport-independent handlers (tested directly; HTTP below)."""
+
+    def __init__(self, spark: SparkSession, index: MatchIndex):
+        self.spark = spark
+        self.index = index
+        self._run_seq = 0
+        self._lock = threading.Lock()
+
+    def _next_run_id(self) -> int:
+        with self._lock:
+            self._run_seq += 1
+            return self._run_seq
+
+    @classmethod
+    def from_files(
+        cls, spark: SparkSession, files, cfg: AmpConfig = DEFAULT_CONFIG
+    ) -> "MatchService":
+        return cls(spark, build_index(files, cfg))
+
+    def match_single(self, record: dict, top_n: int = 5) -> list[dict]:
+        """POST /api/v1/match with one JSON record
+        (pkg/api/handler.go:54-102 shape)."""
+        missing = [f for f in REQUIRED_FIELDS if f not in record]
+        if missing:
+            raise ValueError(f"missing fields: {missing}")
+        q = amp_io.single_record(
+            self.spark, record["repo"], record["path"], record["commit"],
+            record["lang"], record["content"],
+        )
+        out = match_records(self.index, q, run_id=self._next_run_id(), top_n=top_n)
+        return amp_io.results_json(out)
+
+    def match_batch(self, records: list[dict], top_n: int = 5) -> list[dict]:
+        """POST /api/v1/match with a JSON list (the reference's CSV
+        batch path, pkg/api/handler.go:104-163)."""
+        for r in records:
+            missing = [f for f in REQUIRED_FIELDS if f not in r]
+            if missing:
+                raise ValueError(f"missing fields: {missing}")
+        q = self.spark.createDataFrame(
+            [(r["repo"], r["path"], r["commit"], r["lang"], r["content"]) for r in records],
+            "repo string, path string, commit string, lang string, content string",
+        )
+        out = match_records(self.index, q, run_id=self._next_run_id(), top_n=top_n)
+        return amp_io.results_json(out)
+
+    def duplicates(self, limit: int = 1000) -> list[dict]:
+        """POST /api/v1/duplicates: cluster the index's own records
+        (reference self-match semantics, pkg/api/handler.go:82-102 —
+        extended to transitive clusters per the north rule)."""
+        from .pipeline import run_pipeline
+
+        out = run_pipeline(
+            self.spark,
+            # records were normalized already; rebuild from raw shape is
+            # not needed — cluster the representatives' match graph
+            self._index_files_view(),
+            self.index.cfg,
+        )
+        return amp_io.results_json(out["clusters"], limit=limit)
+
+    def _index_files_view(self):
+        # records table carries the original (repo, path, commit, lang)
+        # plus norm_text; reconstruct the pipeline input contract from
+        # the stored records (content == norm_text is acceptable for
+        # self-dedup: ids and clustering keys derive from it identically)
+        from pyspark.sql import functions as F
+
+        return self.index.records.select(
+            "repo", "path", "commit", "lang", F.col("norm_text").alias("content")
+        )
+
+
+def make_handler(service: MatchService):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet test output
+            pass
+
+        def _send(self, code: int, payload) -> None:
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._send(200, {"status": "ok"})
+            else:
+                self._send(404, {"error": "not found"})
+
+        def do_POST(self):
+            n = int(self.headers.get("Content-Length", "0"))
+            try:
+                payload = json.loads(self.rfile.read(n) or b"{}")
+            except json.JSONDecodeError:
+                self._send(400, {"error": "invalid json"})
+                return
+            try:
+                if self.path == "/api/v1/match":
+                    if isinstance(payload, list):
+                        self._send(200, {"matches": service.match_batch(payload)})
+                    else:
+                        self._send(200, {"matches": service.match_single(payload)})
+                elif self.path == "/api/v1/duplicates":
+                    self._send(200, {"clusters": service.duplicates()})
+                else:
+                    self._send(404, {"error": "not found"})
+            except ValueError as e:
+                self._send(400, {"error": str(e)})
+
+    return Handler
+
+
+def serve(service: MatchService, port: int = 0) -> HTTPServer:
+    """Start the HTTP front door on a daemon thread; returns the server
+    (server.server_address[1] is the bound port; port=0 picks a free
+    one). Call .shutdown() to stop."""
+    httpd = HTTPServer(("127.0.0.1", port), make_handler(service))
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    return httpd

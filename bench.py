@@ -54,6 +54,43 @@ def _corpus_path(spark, n_base: int) -> str:
     return path
 
 
+def stage_metrics(spark, top_n: int = 12) -> list[dict]:
+    """Per-stage shuffle/input bytes + executor time from the live UI
+    REST API (requires spark.ui.enabled=true) — the itemized shuffle
+    budget behind the scaling-efficiency number. Sorted by shuffle
+    read+write descending."""
+    import urllib.request
+
+    ui = spark.sparkContext.uiWebUrl
+    app_id = spark.sparkContext.applicationId
+    with urllib.request.urlopen(
+        f"{ui}/api/v1/applications/{app_id}/stages?status=complete"
+    ) as r:
+        stages = json.load(r)
+    rows = []
+    for s in stages:
+        rows.append(
+            {
+                "stage": s["stageId"],
+                "name": s["name"].split("\n")[0][:70],
+                "tasks": s.get("numCompleteTasks", 0),
+                "input_mb": round(s.get("inputBytes", 0) / 1e6, 1),
+                "shuf_read_mb": round(s.get("shuffleReadBytes", 0) / 1e6, 1),
+                "shuf_write_mb": round(s.get("shuffleWriteBytes", 0) / 1e6, 1),
+                "exec_sec": round(s.get("executorRunTime", 0) / 1e3, 1),
+            }
+        )
+    rows.sort(key=lambda r: r["shuf_read_mb"] + r["shuf_write_mb"], reverse=True)
+    totals = {
+        "n_stages": len(rows),
+        "total_shuf_read_mb": round(sum(r["shuf_read_mb"] for r in rows), 1),
+        "total_shuf_write_mb": round(sum(r["shuf_write_mb"] for r in rows), 1),
+        "total_input_mb": round(sum(r["input_mb"] for r in rows), 1),
+        "total_exec_sec": round(sum(r["exec_sec"] for r in rows), 1),
+    }
+    return rows[:top_n], totals
+
+
 def run_er_pipeline(spark, n_base: int) -> dict:
     """Flagship: full ER pipeline over a parquet input table."""
     from pyspark.sql import functions as F
@@ -91,7 +128,10 @@ def run_headline(spark, sf_dir: str) -> dict[str, float]:
         "dedup_minhash_lsh",
         "dedup_simhash",
         "dedup_embedding_cosine",
+        "dedup_embedding_lsh",
         "ann_bruteforce_topk",
+        "ann_ivf_topk",
+        "match_provided_embedding_topk",
         "text_quality",
         "text_fingerprints",
         "agg_lineitem",
@@ -107,16 +147,43 @@ def run_headline(spark, sf_dir: str) -> dict[str, float]:
     return times
 
 
-def bench_once(sf_dir: str, cpus: int, er_only: bool = False, er_base: int | None = None) -> dict:
+def bench_once(
+    sf_dir: str,
+    cpus: int,
+    er_only: bool = False,
+    er_base: int | None = None,
+    with_stage_metrics: bool = False,
+) -> dict:
     from amp.session import get_spark
 
-    spark = get_spark("amp-bench", cpus=cpus, shuffle_partitions=cpus)
+    extra = {"spark.ui.enabled": "true"} if with_stage_metrics else None
     sf = _sf_of(sf_dir)
+    # 4x cores of shuffle granularity on LARGE runs: with exactly one
+    # task per core a single straggler stalls the whole stage barrier
+    # (measured 72% executor utilization at local[8] vs 89% at
+    # local[2]); finer tasks smooth the tail and AQE coalesces any that
+    # end up tiny. Small corpora (the sf0.1 operator bench) keep 1x —
+    # there the per-task overhead outweighs the tail (measured +5s on a
+    # 17k-record run).
+    n_base = er_base if er_base else _er_scale(sf)
+    mult = 4 if n_base >= 50_000 else 1
+    spark = get_spark(
+        "amp-bench", cpus=cpus, shuffle_partitions=cpus * mult, extra_conf=extra
+    )
     er = run_er_pipeline(spark, er_base if er_base else _er_scale(sf))
+    if with_stage_metrics:
+        er["stage_metrics"], er["stage_totals"] = stage_metrics(spark)
     queries = {} if er_only else run_headline(spark, sf_dir)
     queries["er_pipeline"] = round(er["wall_sec"], 3)
     total = round(sum(queries.values()), 3)
+    extra_fields = {}
+    if with_stage_metrics:
+        extra_fields = {
+            "stage_metrics": er["stage_metrics"],
+            "stage_totals": er["stage_totals"],
+        }
     return {
+        **extra_fields,
         "metric": "headline wall sec (er pipeline + operator queries)",
         "value": total,
         "unit": "sec",
@@ -148,10 +215,16 @@ def run_scaling(
                 sys.executable, os.path.abspath(__file__),
                 "--sf-dir", sf_dir, "--cpus", str(cpus),
                 "--er-base", str(n_base), "--er-only", "--json-only",
+                "--stage-metrics",  # itemized shuffle budget per level
             ]
+            env = dict(os.environ)
+            # larger heap for the measurement JVM: GC pressure is part
+            # of the thread-anti-scaling this host shows on shuffle work
+            env.setdefault("AMP_DRIVER_MEM", "16g")
             out = subprocess.run(
                 cmd, capture_output=True, text=True,
                 cwd=os.path.dirname(os.path.abspath(__file__)),
+                env=env,
             )
             line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
             r = json.loads(line)
@@ -212,6 +285,28 @@ non-scaling wall is shuffle/disk + per-stage scheduling overhead.
 sf dir: `{sf_dir}`. Reproduce: `python bench.py --scaling --write-md`.
 """
         )
+        for cpus in (lo, hi):
+            r = last[cpus]
+            if "stage_metrics" not in r:
+                continue
+            t = r["stage_totals"]
+            fh.write(
+                f"""
+## Itemized shuffle budget — local[{cpus}] (last repeat)
+
+Totals: {t['n_stages']} stages, shuffle read {t['total_shuf_read_mb']} MB,
+shuffle write {t['total_shuf_write_mb']} MB, input {t['total_input_mb']} MB,
+executor time {t['total_exec_sec']} s (wall x cores x utilization).
+
+| stage | tasks | input MB | shuf read MB | shuf write MB | exec sec |
+|---|---|---|---|---|---|
+"""
+            )
+            for s in r["stage_metrics"]:
+                fh.write(
+                    f"| {s['stage']} | {s['tasks']} | {s['input_mb']} | "
+                    f"{s['shuf_read_mb']} | {s['shuf_write_mb']} | {s['exec_sec']} |\n"
+                )
 
 
 def main() -> None:
@@ -228,6 +323,8 @@ def main() -> None:
     ap.add_argument("--scale-base", type=int, default=200_000)
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--write-md", action="store_true")
+    ap.add_argument("--stage-metrics", action="store_true",
+                    help="enable the Spark UI and emit per-stage shuffle bytes")
     args = ap.parse_args()
 
     if args.scaling:
@@ -240,7 +337,10 @@ def main() -> None:
             )
         )
         return
-    print(json.dumps(bench_once(args.sf_dir, args.cpus, er_only=args.er_only, er_base=args.er_base)))
+    print(json.dumps(bench_once(
+        args.sf_dir, args.cpus, er_only=args.er_only, er_base=args.er_base,
+        with_stage_metrics=args.stage_metrics,
+    )))
 
 
 if __name__ == "__main__":

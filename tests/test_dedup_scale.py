@@ -163,6 +163,32 @@ def test_ann_lsh_recall_on_planted_clusters(spark):
     assert recall >= 0.9, f"recall={recall:.3f}"
 
 
+def test_ann_ivf_recall_on_planted_clusters(spark):
+    """IVF inverted lists: with n_probe covering the neighborhood,
+    in-cluster neighbors live in the probed lists — recall >= 0.9 on
+    planted clusters; n_probe == n_centroids degenerates to exact."""
+    rng = np.random.RandomState(6)
+    mat = _planted_clusters(rng)
+    corpus = _vec_df(spark, mat)
+    queries = corpus.where(F.col("vec_id") % 8 == 1)
+    truth = {
+        (r.query_id, r.corpus_id)
+        for r in ann.brute_force_topk(corpus, queries, k=5).collect()
+    }
+    got = {
+        (r.query_id, r.corpus_id)
+        for r in ann.ivf_topk(corpus, queries, k=5, n_centroids=16, n_probe=4).collect()
+    }
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.9, f"recall={recall:.3f}"
+    # exhaustive probing == brute force exactly
+    full = {
+        (r.query_id, r.corpus_id)
+        for r in ann.ivf_topk(corpus, queries, k=5, n_centroids=16, n_probe=16).collect()
+    }
+    assert full == truth
+
+
 def test_ann_lsh_fixture_recall_measured(spark):
     """Uniform-random fixture: no LSH gap exists by construction, so
     this asserts the *deterministic measured* recall floor (recorded in
