@@ -56,6 +56,90 @@ def ingest_to_parquet(
     )
 
 
+DEDUP_OUTPUT_SCHEMA = (
+    "record_id string, content_sha string, canonical_id string, "
+    "is_duplicate boolean"
+)
+DEDUP_STATE_SCHEMA = "canonical_id string, n_seen long"
+
+
+def dedup_stream(records_stream: DataFrame) -> DataFrame:
+    """Custom STATEFUL streaming operator: continuous exact dedup via
+    ``applyInPandasWithState`` keyed by content_sha. State per
+    fingerprint = (canonical_id, n_seen); the first record to arrive
+    becomes canonical (min record_id within its first micro-batch for
+    determinism), every later arrival is emitted flagged
+    ``is_duplicate`` with a pointer to the canonical — the streaming
+    twin of normalize.exact_edges' star edges. State size is
+    O(distinct contents), the same bound as the batch representatives
+    table; keys shard across executors by the groupBy hash."""
+    import pandas as pd
+
+    def fn(key, pdfs, state):
+        sha = key[0]
+        if state.exists:
+            canonical, n_seen = state.get
+        else:
+            canonical, n_seen = None, 0
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("record_id")
+            ids = list(pdf["record_id"])
+            if canonical is None and ids:
+                canonical = ids[0]
+            out.append(
+                pd.DataFrame(
+                    {
+                        "record_id": ids,
+                        "content_sha": sha,
+                        "canonical_id": canonical,
+                        "is_duplicate": [rid != canonical for rid in ids],
+                    }
+                )
+            )
+            n_seen += len(ids)
+        state.update((canonical, n_seen))
+        yield from out
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (
+        records_stream.select("record_id", "content_sha")
+        .groupBy("content_sha")
+        .applyInPandasWithState(
+            fn,
+            DEDUP_OUTPUT_SCHEMA,
+            DEDUP_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def ingest_stats_stream(
+    records_stream: DataFrame,
+    window_duration: str = "10 seconds",
+    watermark_delay: str = "30 seconds",
+) -> DataFrame:
+    """Watermarked windowed aggregation over the ingest stream:
+    per-(window, lang) record/byte counts with late data bounded by the
+    watermark — the standard Structured Streaming shape for ingest
+    monitoring counters (the streaming twin of the checkpoint
+    manifest's per-stage counters). Uses arrival time: the file-landing
+    stream has no domain event time."""
+    from pyspark.sql import functions as F
+
+    return (
+        records_stream.withColumn("ingest_ts", F.current_timestamp())
+        .withWatermark("ingest_ts", watermark_delay)
+        .groupBy(F.window("ingest_ts", window_duration), "lang")
+        .agg(
+            F.count("*").alias("n_records"),
+            F.sum("n_chars").alias("n_chars_total"),
+        )
+    )
+
+
 def match_stream(
     stream: DataFrame,
     index,

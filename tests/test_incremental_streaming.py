@@ -159,3 +159,74 @@ def test_attach_embeddings_requires_full_coverage(spark, small_corpus):
     )
     with pytest.raises(ValueError, match="no provided embedding"):
         scoring.attach_embeddings(sides, partial)
+
+
+def test_stateful_dedup_stream_across_batches(spark, tmp_path_factory):
+    """applyInPandasWithState exact-dedup: state (canonical id per
+    fingerprint) must survive across micro-batches — a duplicate
+    arriving in batch 2 points at the canonical chosen in batch 1."""
+    import time
+
+    land = str(tmp_path_factory.mktemp("dedup_land"))
+    schema = "record_id string, content_sha string, lang string, n_chars int"
+    b1 = spark.createDataFrame(
+        [("r1", "A", "py", 10), ("r2", "A", "py", 10), ("r3", "B", "go", 20)], schema
+    )
+    b1.coalesce(1).write.mode("append").parquet(land)
+
+    from amp import streaming
+
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(land)
+    q = (
+        streaming.dedup_stream(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        b2 = spark.createDataFrame([("r4", "A", "py", 10), ("r5", "C", "js", 5)], schema)
+        b2.coalesce(1).write.mode("append").parquet(land)
+        q.processAllAvailable()
+        rows = {r["record_id"]: r for r in spark.table("dedup_out").collect()}
+    finally:
+        q.stop()
+
+    assert rows["r1"]["is_duplicate"] is False and rows["r1"]["canonical_id"] == "r1"
+    assert rows["r2"]["is_duplicate"] is True and rows["r2"]["canonical_id"] == "r1"
+    # state crossed the batch boundary:
+    assert rows["r4"]["is_duplicate"] is True and rows["r4"]["canonical_id"] == "r1"
+    assert rows["r3"]["is_duplicate"] is False
+    assert rows["r5"]["is_duplicate"] is False
+
+
+def test_ingest_stats_stream_windowed_counts(spark, tmp_path_factory):
+    land = str(tmp_path_factory.mktemp("stats_land"))
+    schema = "record_id string, content_sha string, lang string, n_chars int"
+    spark.createDataFrame(
+        [(f"r{i}", f"s{i}", "py" if i % 2 else "go", 10 * (i + 1)) for i in range(8)],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(land)
+
+    from amp import streaming
+
+    stream = spark.readStream.schema(schema).parquet(land)
+    q = (
+        streaming.ingest_stats_stream(stream)
+        .writeStream.format("memory")
+        .queryName("stats_out")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.table("stats_out").collect()
+    finally:
+        q.stop()
+    assert sum(r["n_records"] for r in rows) == 8
+    by_lang = {}
+    for r in rows:
+        by_lang[r["lang"]] = by_lang.get(r["lang"], 0) + r["n_records"]
+    assert by_lang == {"py": 4, "go": 4}
+    assert all(r["window"].start is not None for r in rows)
