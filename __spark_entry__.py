@@ -565,7 +565,7 @@ SELECT query_id, corpus_id, cosine, rnk FROM (
     # queries probe 4 nearest lists, exact cosine top-5 inside them
     o["ann_ivf_topk"] = """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-cent AS (SELECT vec_id AS c, v AS cv FROM e WHERE vec_id < 16),
+cent AS (SELECT vec_id AS c, v AS cv FROM e ORDER BY vec_id LIMIT 16),
 cd AS (
   SELECT e.vec_id, cent.c,
          list_sum(list_transform(range(1, 65), i -> (e.v[i] - cent.cv[i]) ^ 2)) AS d

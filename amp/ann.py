@@ -129,13 +129,20 @@ def ivf_topk(
     no shuffle, no per-row driver work. Recall is tunable via n_probe
     (n_probe == n_centroids degenerates to exact brute force)."""
     if centroids is None:
+        # the n_centroids LOWEST-ID vectors (not `id < n_centroids`,
+        # which assumes a 0-based contiguous id space)
         rows = (
             corpus.select(F.col(id_col).alias("i"), _as_double(vec_col).alias("v"))
-            .where(F.col("i") < n_centroids)
             .orderBy("i")
+            .limit(n_centroids)
             .collect()
         )
         centroids = [list(r["v"]) for r in rows]
+    if len(centroids) < n_centroids:
+        raise ValueError(
+            f"ivf_topk: corpus has only {len(centroids)} vectors for "
+            f"n_centroids={n_centroids}"
+        )
     if len(centroids) < n_probe:
         raise ValueError("n_probe exceeds centroid count")
 
@@ -213,7 +220,7 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
-    dim: int = 64,
+    dim: int | None = None,
     probe_hamming: int = 1,
 ) -> DataFrame:
     """Bucketed ANN: join only within matching hyperplane-sign buckets,
@@ -226,6 +233,10 @@ def lsh_topk(
     fixture and gated >= 0.95 on planted clusters in
     tests/test_dedup_scale.py. Raise ``bits`` for speed, raise
     ``probe_hamming`` for recall."""
+    if dim is None:
+        # never guess: planes of the wrong dim zip_with-pad to null
+        # dots and silently collapse every vector into bucket 0
+        raise ValueError("lsh_topk: pass dim= (the embedding dimension) explicitly")
     planes = _hyperplanes(dim, bits, seed)
 
     c = corpus.select(
@@ -239,13 +250,15 @@ def lsh_topk(
     # Probes are distinct values and a corpus vector lives in exactly one
     # bucket, so no candidate dedup is needed after the join.
     def _probes(h: int) -> list:
-        masks = [0]
-        if h >= 1:
-            masks += [1 << j for j in range(bits)]
-        if h >= 2:
-            masks += [
-                (1 << i) | (1 << j) for i in range(bits) for j in range(i + 1, bits)
-            ]
+        from itertools import combinations
+
+        masks = []
+        for r in range(min(h, bits) + 1):
+            for flip in combinations(range(bits), r):
+                m = 0
+                for j in flip:
+                    m |= 1 << j
+                masks.append(m)
         return masks
 
     q = q.withColumn(

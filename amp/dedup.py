@@ -280,7 +280,9 @@ def embedding_near_dup(
 
     d = _vec_norm(embs, id_col, vec_col)
     if n_tiles is None:
-        n_tiles = max(1, math.ceil(d.count() / tile_size))
+        # build-phase action, column-pruned (id only — never the
+        # vectors); pass n_tiles explicitly to keep plan-build lazy
+        n_tiles = max(1, math.ceil(embs.select(id_col).count() / tile_size))
     g = (
         d.withColumn("tile", F.pmod(F.xxhash64("id"), F.lit(n_tiles)))
         .groupBy("tile")

@@ -65,16 +65,20 @@ class MatchIndex:
         ck.write(self.records, "index_records")
         ck.write(self.sides, "index_sides")
         items = sorted(self.idf.items())
-        idf_df = spark.createDataFrame(
-            [(int(k), float(v)) for k, v in items] or [(0, 0.0)],
-            "token_hash long, idf double",
-        )
-        ck.write(idf_df, "index_idf")
+        if items:
+            idf_df = spark.createDataFrame(
+                [(int(k), float(v)) for k, v in items], "token_hash long, idf double"
+            )
+            ck.write(idf_df, "index_idf")
+        # empty vocabulary: skip the table entirely (a partitioned write
+        # of zero rows leaves no readable parquet) and flag it in the
+        # manifest so load() round-trips {} faithfully
         with open(os.path.join(root, "index_config.json"), "w") as fh:
             json.dump(
                 {
                     "cfg": dataclasses.asdict(self.cfg),
                     "uses_provided_embeddings": self.uses_provided_embeddings,
+                    "idf_empty": not items,
                 },
                 fh,
             )
@@ -89,8 +93,11 @@ class MatchIndex:
         # checkpointed tables come back with the run_id partition column;
         # sides must match the query batch's schema for the union
         sides = ck.read("index_sides").drop("run_id")
-        idf_rows = ck.read("index_idf").collect()
-        idf = {int(r["token_hash"]): float(r["idf"]) for r in idf_rows}
+        if meta.get("idf_empty"):
+            idf: dict[int, float] = {}
+        else:
+            idf_rows = ck.read("index_idf").collect()
+            idf = {int(r["token_hash"]): float(r["idf"]) for r in idf_rows}
         return cls(
             records, sides, idf, cfg,
             uses_provided_embeddings=meta.get("uses_provided_embeddings", False),
@@ -114,7 +121,9 @@ def build_index(
     idf = features.idf_map(reps, reps.count(), cfg)
     sides = scoring.side_features_onepass(reps, idf, cfg)
     if embeddings is not None:
-        sides = scoring.attach_embeddings(sides, embeddings)
+        sides = scoring.attach_embeddings(
+            sides, embeddings, expected_ids=reps.select("record_id")
+        )
     sides = sides.localCheckpoint(eager=True)
     return MatchIndex(
         records, sides, idf, cfg, uses_provided_embeddings=embeddings is not None
@@ -149,12 +158,20 @@ def match_records(
             "pass query_embeddings (record_id, embedding) of the same "
             "model/dim for the query batch"
         )
+    if query_embeddings is not None and not index.uses_provided_embeddings:
+        raise ValueError(
+            "match_records: query_embeddings given but the index holds "
+            "hashing-trick vectors — rebuild the index with "
+            "build_index(embeddings=...) so both sides share a model/dim"
+        )
     q_records = normalize.normalize(query_files, cfg, run_id=run_id).localCheckpoint(
         eager=True
     )
     q_sides = scoring.side_features_onepass(q_records, index.idf, cfg)
     if query_embeddings is not None:
-        q_sides = scoring.attach_embeddings(q_sides, query_embeddings)
+        q_sides = scoring.attach_embeddings(
+            q_sides, query_embeddings, expected_ids=q_records.select("record_id")
+        )
 
     # blocking: query side vs index side ONLY (match.sql:30-31 semantics)
     q_blocks = _blocks_for(q_sides, q_records, cfg).select(

@@ -226,7 +226,11 @@ def representatives(records: DataFrame) -> DataFrame:
     winners = records.groupBy("content_sha").agg(
         F.min("record_id").alias("record_id")
     )
-    return records.join(winners.select("record_id"), "record_id", "leftsemi")
+    # semi-join on BOTH columns: record_id alone would let a row leak
+    # through whenever record_ids collide across rows (duplicate
+    # (repo,path,commit) ingests) — the one-row-per-content invariant
+    # must not depend on record_id uniqueness
+    return records.join(winners, ["content_sha", "record_id"], "leftsemi")
 
 
 def exact_edges(records: DataFrame) -> DataFrame:

@@ -201,6 +201,7 @@ def attach_embeddings(
     provided: DataFrame,
     id_col: str = "record_id",
     vec_col: str = "embedding",
+    expected_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Ingest hook for PRECOMPUTED semantic embeddings: replace the
     hashing-trick vectors in a feature table with user-provided ones
@@ -217,10 +218,16 @@ def attach_embeddings(
         F.col(id_col).alias("record_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("float")).alias("p_emb"),
     )
-    # coverage check on pruned id columns only (the full feature rows
-    # are never materialized for this validation action)
+    # coverage check: validate against ``expected_ids`` when the caller
+    # has a cheap id source (reps/records — 1:1 with sides). Falling
+    # back to sides itself is correct but expensive: sides is a
+    # mapInPandas output, so selecting just record_id still executes
+    # the whole feature kernel for this validation action.
+    id_universe = expected_ids if expected_ids is not None else sides
     n_missing = (
-        sides.select("record_id").join(p.select("record_id"), "record_id", "left_anti").count()
+        id_universe.select("record_id")
+        .join(p.select("record_id"), "record_id", "left_anti")
+        .count()
     )
     if n_missing:
         raise ValueError(

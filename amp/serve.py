@@ -145,6 +145,9 @@ def make_handler(service: MatchService):
                     self._send(404, {"error": "not found"})
             except ValueError as e:
                 self._send(400, {"error": str(e)})
+            except Exception as e:  # noqa: BLE001 — a failed Spark job
+                # must come back as a 500 body, not a dropped socket
+                self._send(500, {"error": f"{type(e).__name__}: {e}"})
 
     return Handler
 

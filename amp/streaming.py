@@ -81,25 +81,26 @@ def dedup_stream(records_stream: DataFrame) -> DataFrame:
             canonical, n_seen = state.get
         else:
             canonical, n_seen = None, 0
-        out = []
+        # drain ALL Arrow chunks first: a hot fingerprint's micro-batch
+        # can arrive split across chunks, and the documented canonical
+        # (min record_id within the first micro-batch) must consider
+        # every chunk, not just the first
+        all_ids: list[str] = []
         for pdf in pdfs:
-            pdf = pdf.sort_values("record_id")
-            ids = list(pdf["record_id"])
-            if canonical is None and ids:
-                canonical = ids[0]
-            out.append(
-                pd.DataFrame(
-                    {
-                        "record_id": ids,
-                        "content_sha": sha,
-                        "canonical_id": canonical,
-                        "is_duplicate": [rid != canonical for rid in ids],
-                    }
-                )
-            )
-            n_seen += len(ids)
+            all_ids.extend(pdf["record_id"])
+        all_ids.sort()
+        if canonical is None and all_ids:
+            canonical = all_ids[0]
+        n_seen += len(all_ids)
         state.update((canonical, n_seen))
-        yield from out
+        yield pd.DataFrame(
+            {
+                "record_id": all_ids,
+                "content_sha": sha,
+                "canonical_id": canonical,
+                "is_duplicate": [rid != canonical for rid in all_ids],
+            }
+        )
 
     from pyspark.sql.streaming.state import GroupStateTimeout
 
