@@ -83,3 +83,20 @@ def test_resume_equals_fresh(spark, tmp_path_factory):
     with open(os.path.join(root, "_manifest", "run0_clusters.json")) as fh:
         man = json.load(fh)
     assert man["rows"] == len(fresh) and man["stage"] == "clusters"
+
+
+def test_open_vocabulary_postings_path_f1(spark, small_corpus):
+    """The broadcast_idf=False branch (distributed postings-join
+    scoring — the open-web-vocabulary scale path) must hold the same
+    F1 gate as the default one-pass kernel."""
+    import dataclasses
+
+    from amp.cluster import pairwise_f1
+    from amp.config import DEFAULT_CONFIG
+    from amp.pipeline import run_pipeline
+
+    files, labels = small_corpus
+    cfg = dataclasses.replace(DEFAULT_CONFIG, broadcast_idf=False)
+    out = run_pipeline(spark, files, cfg)
+    m = pairwise_f1(out["clusters"], labels)
+    assert m["f1"] >= 0.99, m
