@@ -8,6 +8,8 @@ import json
 import os
 import shutil
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from amp.cluster import pairwise_f1
@@ -98,5 +100,21 @@ def test_open_vocabulary_postings_path_f1(spark, small_corpus):
     files, labels = small_corpus
     cfg = dataclasses.replace(DEFAULT_CONFIG, broadcast_idf=False)
     out = run_pipeline(spark, files, cfg)
+    m = pairwise_f1(out["clusters"], labels)
+    assert m["f1"] >= 0.99, m
+
+
+@pytest.mark.parametrize("seed", [7, 1234])
+def test_f1_gate_holds_across_corpus_seeds(spark, seed):
+    """The F1 >= 0.99 gate must not be an artifact of the default
+    seed-42 corpus: regenerate the labeled corpus under other seeds and
+    re-run the full pipeline."""
+    from amp.cluster import pairwise_f1
+    from amp.datagen import gen_files, gen_labels
+    from amp.pipeline import run_pipeline
+
+    files = gen_files(spark, 250, seed=seed, partitions=8)
+    labels = gen_labels(spark, 250, seed=seed, partitions=8)
+    out = run_pipeline(spark, files)
     m = pairwise_f1(out["clusters"], labels)
     assert m["f1"] >= 0.99, m
