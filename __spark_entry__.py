@@ -775,7 +775,41 @@ WHERE round(list_dot_product(le.v, re.v)
             / (sqrt(list_dot_product(le.v, le.v)) * sqrt(list_dot_product(re.v, re.v))), 6) >= 0.3
 """
 
-    # er_pipeline_clusters / ann_lsh_topk: no oracle —
-    #   er: driver-side CC fixpoint + pandas UDFs (non-SQL-expressible)
-    #   ann_lsh: approximate by construction (bucket recall < 1)
+    # multi-probe LSH ANN: same seeded plane literals as the Spark plan
+    # (ann._hyperplanes(64, 4, 42)), same probe masks (h<=1), so the
+    # approximate operator is deterministically specified and
+    # hash-checked — recall-vs-exact is gated separately in
+    # tests/test_dedup_scale.py
+    from amp.ann import _hyperplanes as _lsh_planes
+
+    planes4 = _lsh_planes(64, 4, 42)
+    bucket_sql = " + ".join(
+        f"(CASE WHEN list_dot_product(v, [{','.join(repr(float(x)) for x in p)}]::DOUBLE[]) > 0 "
+        f"THEN {1 << j} ELSE 0 END)"
+        for j, p in enumerate(planes4)
+    )
+    probe_masks = ",".join(f"({m})" for m in [0, 1, 2, 4, 8])
+    o["ann_lsh_topk"] = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+b AS (SELECT vec_id, v, {bucket_sql} AS bucket FROM e),
+probes AS (
+  SELECT vec_id AS query_id, v AS qv, xor(bucket, m.m) AS bucket
+  FROM b, (VALUES {probe_masks}) AS m(m)
+  WHERE vec_id < 10
+),
+scored AS (
+  SELECT p.query_id, c.vec_id AS corpus_id,
+         round(list_dot_product(p.qv, c.v)
+               / (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(c.v, c.v))), 6) AS cosine
+  FROM probes p JOIN b c ON c.bucket = p.bucket
+  WHERE c.vec_id <> p.query_id
+)
+SELECT query_id, corpus_id, cosine, rnk FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id ASC) AS rnk
+  FROM scored
+) WHERE rnk <= 5
+"""
+
+    # er_pipeline_clusters: no oracle — driver-side CC fixpoint +
+    # pandas UDFs (non-SQL-expressible); rows-only by design
     return o
