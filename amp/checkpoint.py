@@ -24,6 +24,7 @@ API — the swap is confined to this module.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import time
@@ -55,6 +56,43 @@ class CheckpointManager:
                 out.append(json.load(fh))
         return out
 
+    # -- snapshots ----------------------------------------------------------
+    def _run_partition_dir(self, stage: str) -> str:
+        return os.path.join(self.table_path(stage), f"run_id={self.run_id}")
+
+    def _snapshot_of(self, stage: str) -> tuple[str, list[dict]]:
+        """Iceberg-shaped snapshot: the manifest pins the exact data-file
+        set (relative path + byte size) of this run's partition; the
+        snapshot id is a digest of that file list. On a real Iceberg
+        catalog this column would hold the table snapshot id — the
+        CONTRACT exercised here is the same: a stage row names an
+        immutable file set, and verify_snapshot detects any drift."""
+        base = self._run_partition_dir(stage)
+        files = []
+        for root, _, names in os.walk(base):
+            for n in names:
+                if n.endswith(".parquet"):
+                    p = os.path.join(root, n)
+                    files.append(
+                        {"path": os.path.relpath(p, base), "bytes": os.path.getsize(p)}
+                    )
+        files.sort(key=lambda f: f["path"])
+        snap = hashlib.sha256(
+            json.dumps(files, sort_keys=True).encode()
+        ).hexdigest()[:16]
+        return snap, files
+
+    def verify_snapshot(self, stage: str) -> bool:
+        """Recompute the stage's file-set digest and compare with the
+        manifest — False means the checkpoint was tampered with or
+        partially lost and the stage must be recomputed, not resumed."""
+        if not self.is_done(stage):
+            return False
+        with open(self._manifest_path(stage)) as fh:
+            recorded = json.load(fh)
+        snap, _ = self._snapshot_of(stage)
+        return snap == recorded.get("snapshot")
+
     # -- write / read ------------------------------------------------------
     def table_path(self, stage: str) -> str:
         return os.path.join(self.root, stage)
@@ -83,6 +121,7 @@ class CheckpointManager:
         ).write.mode("overwrite").parquet(cpath)
 
         rows = back.count()
+        snap, files = self._snapshot_of(stage)
         with open(self._manifest_path(stage), "w") as fh:
             json.dump(
                 {
@@ -91,7 +130,13 @@ class CheckpointManager:
                     "rows": rows,
                     "wall_sec": round(time.time() - t0, 3),
                     "path": path,
-                    "snapshot": None,  # Iceberg snapshot id when on a real catalog
+                    # Iceberg-shaped: the snapshot id digests the pinned
+                    # data-file set below (on a real catalog: the table
+                    # snapshot id); verify_snapshot() checks it on resume
+                    "snapshot": snap,
+                    "n_files": len(files),
+                    "n_bytes": sum(f["bytes"] for f in files),
+                    "files": files,
                 },
                 fh,
             )
@@ -103,8 +148,18 @@ class CheckpointManager:
         )
 
     def stage(self, name: str, thunk) -> DataFrame:
-        """Run-or-resume: recompute only when no manifest row exists."""
+        """Run-or-resume: resume only when the manifest row exists AND
+        its snapshot still matches the on-disk file set — a tampered or
+        partially-lost checkpoint is recomputed, never silently read."""
         if self.is_done(name):
-            return self.read(name)
+            if self.verify_snapshot(name):
+                return self.read(name)
+            import logging
+
+            logging.getLogger("amp.checkpoint").warning(
+                "stage %s: manifest snapshot does not match on-disk files; "
+                "recomputing instead of resuming",
+                name,
+            )
         t0 = time.time()
         return self.write(thunk(), name, started_at=t0)

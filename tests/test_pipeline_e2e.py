@@ -118,3 +118,41 @@ def test_f1_gate_holds_across_corpus_seeds(spark, seed):
     out = run_pipeline(spark, files)
     m = pairwise_f1(out["clusters"], labels)
     assert m["f1"] >= 0.99, m
+
+
+def test_snapshot_pins_file_set_and_gates_resume(spark, tmp_path_factory):
+    """Iceberg-shaped manifest contract: a stage's snapshot digests the
+    exact data-file set; tampering with the checkpoint flips
+    verify_snapshot to False and stage() recomputes instead of resuming
+    the corrupt table."""
+    import glob
+
+    from amp.checkpoint import CheckpointManager
+
+    root = str(tmp_path_factory.mktemp("snap_ck"))
+    ck = CheckpointManager(spark, root, run_id=0)
+    df = spark.range(100).selectExpr("id", "id * 2 AS v")
+    calls = {"n": 0}
+
+    def thunk():
+        calls["n"] += 1
+        return df
+
+    ck.stage("nums", thunk)
+    assert calls["n"] == 1
+    assert ck.verify_snapshot("nums")
+    man = [m for m in ck.manifest() if m["stage"] == "nums"][0]
+    assert man["snapshot"] and man["n_files"] >= 1 and man["files"]
+
+    # clean resume: served from the checkpoint, thunk not re-run
+    ck.stage("nums", thunk)
+    assert calls["n"] == 1
+
+    # tamper: delete one data file -> verify fails -> stage recomputes
+    part = glob.glob(os.path.join(root, "nums", "run_id=0", "*.parquet"))[0]
+    os.remove(part)
+    assert not ck.verify_snapshot("nums")
+    out = ck.stage("nums", thunk)
+    assert calls["n"] == 2
+    assert out.count() == 100
+    assert ck.verify_snapshot("nums")
