@@ -138,11 +138,15 @@ def ivf_topk(
             .collect()
         )
         centroids = [list(r["v"]) for r in rows]
-    if len(centroids) < n_centroids:
-        raise ValueError(
-            f"ivf_topk: corpus has only {len(centroids)} vectors for "
-            f"n_centroids={n_centroids}"
-        )
+        if len(centroids) < n_centroids:
+            raise ValueError(
+                f"ivf_topk: corpus has only {len(centroids)} vectors for "
+                f"n_centroids={n_centroids}"
+            )
+    else:
+        # explicitly-passed (e.g. trained) centroids define the list
+        # count; n_centroids describes only the default build
+        n_centroids = len(centroids)
     if len(centroids) < n_probe:
         raise ValueError("n_probe exceeds centroid count")
 
@@ -239,12 +243,17 @@ def lsh_topk(
         raise ValueError("lsh_topk: pass dim= (the embedding dimension) explicitly")
     planes = _hyperplanes(dim, bits, seed)
 
-    c = corpus.select(
-        F.col(id_col).alias("corpus_id"), _as_double(vec_col).alias("cv")
-    ).withColumn("bucket", bucket_expr("cv", planes))
-    q = queries.select(
-        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")
-    ).withColumn("bucket0", bucket_expr("qv", planes))
+    c = (
+        corpus.select(F.col(id_col).alias("corpus_id"), _as_double(vec_col).alias("cv"))
+        .withColumn("bucket", bucket_expr("cv", planes))
+        # norms once per record, not once per candidate pair
+        .withColumn("cn", _norm("cv"))
+    )
+    q = (
+        queries.select(F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv"))
+        .withColumn("bucket0", bucket_expr("qv", planes))
+        .withColumn("qn", _norm("qv"))
+    )
 
     # probe set: exact bucket + every bucket within probe_hamming bit flips.
     # Probes are distinct values and a corpus vector lives in exactly one
@@ -272,7 +281,7 @@ def lsh_topk(
         c.join(F.broadcast(q), "bucket")
         .where(F.col("query_id") != F.col("corpus_id"))
         .withColumn(
-            "cosine", F.round(_dot("qv", "cv") / (_norm("qv") * _norm("cv")), 6)
+            "cosine", F.round(_dot("qv", "cv") / (F.col("qn") * F.col("cn")), 6)
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("corpus_id"))

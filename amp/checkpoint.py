@@ -131,12 +131,16 @@ class CheckpointManager:
                     "wall_sec": round(time.time() - t0, 3),
                     "path": path,
                     # Iceberg-shaped: the snapshot id digests the pinned
-                    # data-file set below (on a real catalog: the table
-                    # snapshot id); verify_snapshot() checks it on resume
+                    # data-file set (on a real catalog: the table
+                    # snapshot id); verify_snapshot() checks it on resume.
+                    # The explicit file list is for small-table
+                    # inspection only — beyond 64 files the digest +
+                    # totals carry the contract without bloating every
+                    # manifest() load
                     "snapshot": snap,
                     "n_files": len(files),
                     "n_bytes": sum(f["bytes"] for f in files),
-                    "files": files,
+                    "files": files if len(files) <= 64 else None,
                 },
                 fh,
             )

@@ -157,20 +157,25 @@ def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
 
 
 def _banded_fp_pairs(
-    fp: DataFrame, fp_col: str, n_bands: int, width: int, max_hamming: int
+    fp: DataFrame, fp_col: str, n_bands: int, total_bits: int, max_hamming: int
 ) -> DataFrame:
-    """Hamming-LSH banding over an integer fingerprint: split into
-    ``n_bands`` contiguous bit bands; a pair within Hamming distance
-    ``max_hamming <= n_bands - 1`` differs in at most that many bands,
-    so by pigeonhole it agrees on at least one full band — the union of
+    """Hamming-LSH banding over an integer fingerprint: split the
+    ``total_bits`` into ``n_bands`` contiguous DISJOINT bands (widths
+    differing by at most one when not evenly divisible — pigeonhole
+    needs disjoint coverage, not equal widths); a pair within Hamming
+    distance ``max_hamming <= n_bands - 1`` differs in at most that
+    many bands, so it agrees on at least one full band — the union of
     per-band equi-joins is *complete*, never approximate. Bucket count
     is (band value space) x data-driven occupancy, so the join
     parallelism scales with the data instead of a constant 2^8."""
+    base, extra = divmod(total_bits, n_bands)
+    widths = [base + 1] * extra + [base] * (n_bands - extra)
+    offsets = [sum(widths[:b]) for b in range(n_bands)]
     keys = [
         F.struct(
             F.lit(b).alias("band"),
-            F.shiftrightunsigned(F.col(fp_col), b * width)
-            .bitwiseAND(F.lit((1 << width) - 1))
+            F.shiftrightunsigned(F.col(fp_col), offsets[b])
+            .bitwiseAND(F.lit((1 << widths[b]) - 1))
             .alias("bucket"),
         )
         for b in range(n_bands)
@@ -204,9 +209,9 @@ def simhash_near_pairs(docs: DataFrame, bits: int = 16, max_hamming: int = 3) ->
     (all pairs with hamming <= max_hamming), and hash-exactness proves
     the banding loses nothing."""
     n_bands = max_hamming + 1
-    if bits % n_bands:
-        raise ValueError(f"bits={bits} must be divisible by bands={n_bands}")
-    return _banded_fp_pairs(simhash(docs, bits), "simhash", n_bands, bits // n_bands, max_hamming)
+    if n_bands > bits:
+        raise ValueError(f"max_hamming+1={n_bands} bands need at least that many bits")
+    return _banded_fp_pairs(simhash(docs, bits), "simhash", n_bands, bits, max_hamming)
 
 
 def simhash64(docs: DataFrame) -> DataFrame:
@@ -241,9 +246,9 @@ def simhash64_near_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     with the corpus, the property the 16-bit oracle variant trades away
     for SQL expressibility."""
     n_bands = max_hamming + 1
-    if 64 % n_bands:
-        raise ValueError(f"max_hamming+1={n_bands} must divide 64")
-    return _banded_fp_pairs(simhash64(docs), "simhash64", n_bands, 64 // n_bands, max_hamming)
+    if n_bands > 64:
+        raise ValueError(f"max_hamming+1={n_bands} bands need at least that many bits")
+    return _banded_fp_pairs(simhash64(docs), "simhash64", n_bands, 64, max_hamming)
 
 
 def _vec_norm(embs: DataFrame, id_col: str, vec_col: str) -> DataFrame:
@@ -278,6 +283,14 @@ def embedding_near_dup(
     import numpy as np
     import pandas as pd
 
+    # id type passes through untouched (long ids stay long, string
+    # doc_ids stay strings — numpy comparison/min/max handle both)
+    id_dtype = dict(embs.dtypes)[id_col]
+    id_ddl = "string" if id_dtype == "string" else "long"
+    np_empty = (
+        np.array([], dtype=object) if id_ddl == "string" else np.array([], dtype=np.int64)
+    )
+
     d = _vec_norm(embs, id_col, vec_col)
     if n_tiles is None:
         # build-phase action, column-pruned (id only — never the
@@ -296,15 +309,15 @@ def embedding_near_dup(
 
     def kernel(batches):
         empty = {
-            "left_id": np.array([], dtype=np.int64),
-            "right_id": np.array([], dtype=np.int64),
+            "left_id": np_empty,
+            "right_id": np_empty,
             "cos_raw": np.array([], dtype=np.float64),
         }
         for pdf in batches:
             outs = []
             for ra, rb, same in zip(pdf["ra"], pdf["rb"], (pdf["ta"] == pdf["tb"]).values):
-                ids_a = np.asarray([rec["id"] for rec in ra], dtype=np.int64)
-                ids_b = np.asarray([rec["id"] for rec in rb], dtype=np.int64)
+                ids_a = np.asarray([rec["id"] for rec in ra])
+                ids_b = np.asarray([rec["id"] for rec in rb])
                 A = np.asarray([np.asarray(rec["v"], dtype=np.float64) for rec in ra])
                 B = np.asarray([np.asarray(rec["v"], dtype=np.float64) for rec in rb])
                 na = np.asarray([rec["n"] for rec in ra], dtype=np.float64)
@@ -317,11 +330,14 @@ def embedding_near_dup(
                     mask &= ids_a[:, None] < ids_b[None, :]
                 ii, jj = np.nonzero(mask)
                 la, rb_ = ids_a[ii], ids_b[jj]
+                # orient by id with np.where, not minimum/maximum —
+                # comparison ufuncs support string ids, min/max do not
+                lo_first = la < rb_
                 outs.append(
                     pd.DataFrame(
                         {
-                            "left_id": np.minimum(la, rb_),
-                            "right_id": np.maximum(la, rb_),
+                            "left_id": np.where(lo_first, la, rb_),
+                            "right_id": np.where(lo_first, rb_, la),
                             "cos_raw": cos[ii, jj],
                         }
                     )
@@ -329,7 +345,7 @@ def embedding_near_dup(
             yield pd.concat(outs, ignore_index=True) if outs else pd.DataFrame(empty)
 
     return (
-        tp.mapInPandas(kernel, "left_id long, right_id long, cos_raw double")
+        tp.mapInPandas(kernel, f"left_id {id_ddl}, right_id {id_ddl}, cos_raw double")
         .withColumn("cosine", F.round("cos_raw", 6))
         .where(F.col("cosine") >= F.lit(thr))
         .select("left_id", "right_id", "cosine")

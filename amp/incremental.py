@@ -117,6 +117,11 @@ def build_index(
     ``embeddings`` ingests precomputed semantic vectors
     (scoring.attach_embeddings)."""
     records = normalize.normalize(files, cfg, run_id=0).localCheckpoint(eager=True)
+    # probe AFTER the checkpoint (see run_pipeline: avoids re-running
+    # the normalize kernel for a one-column uniqueness count)
+    deduped = normalize.dedupe_records(records)
+    if deduped is not records:
+        records = deduped.localCheckpoint(eager=True)
     reps = normalize.representatives(records).localCheckpoint(eager=True)
     idf = features.idf_map(reps, reps.count(), cfg)
     sides = scoring.side_features_onepass(reps, idf, cfg)

@@ -229,8 +229,43 @@ def representatives(records: DataFrame) -> DataFrame:
     # semi-join on BOTH columns: record_id alone would let a row leak
     # through whenever record_ids collide across rows (duplicate
     # (repo,path,commit) ingests) — the one-row-per-content invariant
-    # must not depend on record_id uniqueness
+    # must not depend on record_id uniqueness.
+    # PRECONDITION: records is unique on record_id (identical ingested
+    # copies of one row would all survive the semi-join). The pipeline
+    # enforces this with dedupe_records() below — a cheap pruned-column
+    # probe, falling back to a deterministic full dedup only when
+    # duplicates actually exist.
     return records.join(winners, ["content_sha", "record_id"], "leftsemi")
+
+
+def dedupe_records(records: DataFrame) -> DataFrame:
+    """Enforce record_id uniqueness on an ingested records table.
+
+    Clean inputs pay ONE pruned-column aggregation (record_id only —
+    tens of bytes per row); only when duplicate ids actually exist
+    (re-ingested batches, corrupt feeds) does the deterministic full
+    dedup run (window keeping the min-content_sha row — never
+    dropDuplicates, whose surviving row is nondeterministic and would
+    break resume-equals-fresh)."""
+    from pyspark.sql import Window
+
+    n_dup = (
+        records.groupBy("record_id").count().where(F.col("count") > 1).limit(1).count()
+    )
+    if not n_dup:
+        return records
+    import logging
+
+    logging.getLogger("amp.normalize").warning(
+        "duplicate record_ids in the ingested batch; keeping one row per "
+        "record_id (min content_sha)"
+    )
+    w = Window.partitionBy("record_id").orderBy("content_sha")
+    return (
+        records.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
 
 
 def exact_edges(records: DataFrame) -> DataFrame:

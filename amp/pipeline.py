@@ -56,6 +56,14 @@ def run_pipeline(
     records = stage("records", lambda: normalize.normalize(files, cfg, run_id))
     if ck is None:
         records = pin(records)
+    # uniqueness probe AFTER materialization: probing the raw normalize
+    # plan would re-run the whole Arrow kernel (mapInPandas output is
+    # not column-prunable); against the pinned/checkpointed table the
+    # probe is a cheap one-column aggregation. Clean inputs return the
+    # same frame; a dirty input yields a new (deduped) plan -> re-pin.
+    deduped = normalize.dedupe_records(records)
+    if deduped is not records:
+        records = pin(deduped) if ck is None else deduped
 
     reps = stage("reps", lambda: normalize.representatives(records))
     if ck is None:

@@ -234,6 +234,16 @@ def attach_embeddings(
             f"attach_embeddings: {n_missing} records have no provided embedding; "
             "provided vectors must cover every record (no mixed-dim scoring)"
         )
+    # duplicates would silently fan out the feature table through the
+    # left join — same hard-error contract as missing coverage
+    n_dup_ids = (
+        p.groupBy("record_id").count().where(F.col("count") > 1).limit(1).count()
+    )
+    if n_dup_ids:
+        raise ValueError(
+            "attach_embeddings: provided embeddings contain duplicate record_ids; "
+            "exactly one vector per record is required"
+        )
     joined = sides.drop("embedding").join(p, "record_id", "left")
     norm = F.sqrt(
         F.expr("aggregate(p_emb, 0.0D, (a, x) -> a + cast(x as double) * cast(x as double))")

@@ -56,6 +56,8 @@ class MatchService:
     def match_single(self, record: dict, top_n: int = 5) -> list[dict]:
         """POST /api/v1/match with one JSON record
         (pkg/api/handler.go:54-102 shape)."""
+        if not isinstance(record, dict):
+            raise ValueError("record must be a JSON object")
         missing = [f for f in REQUIRED_FIELDS if f not in record]
         if missing:
             raise ValueError(f"missing fields: {missing}")
@@ -70,6 +72,8 @@ class MatchService:
         """POST /api/v1/match with a JSON list (the reference's CSV
         batch path, pkg/api/handler.go:104-163)."""
         for r in records:
+            if not isinstance(r, dict):
+                raise ValueError("each batch element must be a JSON object")
             missing = [f for f in REQUIRED_FIELDS if f not in r]
             if missing:
                 raise ValueError(f"missing fields: {missing}")

@@ -204,3 +204,32 @@ def test_ann_lsh_fixture_recall_measured(spark):
         for r in ann.lsh_topk(e, q, k=5, bits=4, dim=64, probe_hamming=1).collect()
     }
     assert len(got1 & truth) / len(truth) >= 0.4
+
+
+def test_simhash_banding_nondivisible_widths(spark):
+    """Unequal band widths (bits=16, max_hamming=2 -> 3 bands of 6/5/5)
+    preserve pigeonhole completeness — previously a hard error."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    fps = [(r.doc_id, r.simhash) for r in dedup.simhash(docs, bits=16).collect()]
+    want = _brute_hamming_pairs(fps, 2)
+    got = _pairs(dedup.simhash_near_pairs(docs, bits=16, max_hamming=2))
+    assert got == want
+
+
+def test_embedding_tiled_string_ids(spark):
+    """id_col passes through untouched — string doc_ids work and the
+    pair orientation is lexicographic, matching the SQL `<` spec."""
+    rng = np.random.RandomState(9)
+    mat = rng.standard_normal((60, 8)).astype(np.float32)
+    rows = [(f"doc{i:03d}", [float(x) for x in v]) for i, v in enumerate(mat)]
+    df = spark.createDataFrame(rows, "doc_id string, embedding array<float>")
+    got = {
+        (r.left_id, r.right_id)
+        for r in dedup.embedding_near_dup(
+            df, threshold=0.4, id_col="doc_id", tile_size=16
+        ).collect()
+    }
+    want = {
+        (f"doc{i:03d}", f"doc{j:03d}") for (i, j) in _brute_cosine_pairs(mat, 0.4)
+    }
+    assert got == want and len(want) > 0

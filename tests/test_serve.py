@@ -96,3 +96,20 @@ def test_derive_anchors_deterministic_and_usable():
     assert len(key) == 10 and set(key) <= {"0", "1"}
     with pytest.raises(ValueError, match="distinct"):
         derive_anchors(streets[:5], k=10)
+
+
+def test_type_malformed_payload_is_400_not_500(spark, small_corpus, service):
+    from amp.serve import serve
+
+    httpd = serve(service, port=0)
+    try:
+        port = httpd.server_address[1]
+        for body in (b"5", b'"abc"', b"[1, 2]"):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/api/v1/match", data=body, method="POST"
+            )
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                urllib.request.urlopen(req)
+            assert ei.value.code == 400, body
+    finally:
+        httpd.shutdown()
