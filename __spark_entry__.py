@@ -750,16 +750,20 @@ WHERE bit_count(xor(l.simhash, r.simhash)) <= 3
     # embedding_lsh_planes), so both engines compute identical buckets,
     # identical candidates, identical verified pairs — the approximate
     # operator is exactly specified and hash-checked.
-    plane_groups = dedup.embedding_lsh_planes(dim=64, bands=2, band_bits=8)
-    band_selects = []
-    for bi, pg in enumerate(plane_groups):
-        bits_sql = " + ".join(
+    def _sign_bucket_sql(planes: list[list[float]]) -> str:
+        """DuckDB twin of amp.ann.bucket_expr: bit j = 1 iff
+        dot(v, plane_j) > 0, same decimal literals as the Spark plan."""
+        return " + ".join(
             f"(CASE WHEN list_dot_product(v, [{','.join(repr(float(x)) for x in p)}]::DOUBLE[]) > 0 "
             f"THEN {1 << j} ELSE 0 END)"
-            for j, p in enumerate(pg)
+            for j, p in enumerate(planes)
         )
-        band_selects.append(f"SELECT id, {bi} AS band, {bits_sql} AS bucket FROM e")
-    bands_union = "\nUNION ALL\n".join(band_selects)
+
+    plane_groups = dedup.embedding_lsh_planes(dim=64, bands=2, band_bits=8)
+    bands_union = "\nUNION ALL\n".join(
+        f"SELECT id, {bi} AS band, {_sign_bucket_sql(pg)} AS bucket FROM e"
+        for bi, pg in enumerate(plane_groups)
+    )
     o["dedup_embedding_lsh"] = f"""
 WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
 keys AS ({bands_union}),
@@ -782,12 +786,7 @@ WHERE round(list_dot_product(le.v, re.v)
     # tests/test_dedup_scale.py
     from amp.ann import _hyperplanes as _lsh_planes
 
-    planes4 = _lsh_planes(64, 4, 42)
-    bucket_sql = " + ".join(
-        f"(CASE WHEN list_dot_product(v, [{','.join(repr(float(x)) for x in p)}]::DOUBLE[]) > 0 "
-        f"THEN {1 << j} ELSE 0 END)"
-        for j, p in enumerate(planes4)
-    )
+    bucket_sql = _sign_bucket_sql(_lsh_planes(64, 4, 42))
     probe_masks = ",".join(f"({m})" for m in [0, 1, 2, 4, 8])
     o["ann_lsh_topk"] = f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -157,23 +157,27 @@ def ivf_topk(
             f"0.0D, (a, v) -> a + v)"
         )
 
-    def _ranked_lists(vc: str):
-        """array of centroid ids ordered by distance (ties -> lower id),
-        as a pure projection over centroid literals (array_sort on
-        struct<d,c> orders lexicographically)."""
-        pairs = F.array(
+    def _dist_structs(vc: str):
+        return F.array(
             *[
                 F.struct(_dist_to(vc, c).alias("d"), F.lit(j).alias("c"))
                 for j, c in enumerate(centroids)
             ]
         )
-        return F.transform(F.array_sort(pairs), lambda s: s["c"])
+
+    def _ranked_lists(vc: str):
+        """array of centroid ids ordered by distance (ties -> lower id),
+        as a pure projection over centroid literals (array_sort on
+        struct<d,c> orders lexicographically)."""
+        return F.transform(F.array_sort(_dist_structs(vc)), lambda s: s["c"])
 
     c = corpus.select(
         F.col(id_col).alias("corpus_id"), _as_double(vec_col).alias("cv")
-    ).withColumn("list_id", _ranked_lists("cv")[0]).withColumn(
-        "cn", _norm("cv")
-    )
+    ).withColumn(
+        # assignment needs only the argmin: array_min on the struct
+        # array (O(C)) instead of sorting the whole ranking (O(C log C))
+        "list_id", F.array_min(_dist_structs("cv"))["c"]
+    ).withColumn("cn", _norm("cv"))
     q = (
         queries.select(F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv"))
         .withColumn("probe_lists", F.slice(_ranked_lists("qv"), 1, n_probe))
@@ -275,7 +279,7 @@ def lsh_topk(
         F.explode(
             F.array(*[F.col("bucket0").bitwiseXOR(F.lit(m)) for m in _probes(probe_hamming)])
         ),
-    )
+    ).select("query_id", "qv", "qn", "bucket")
 
     scored = (
         c.join(F.broadcast(q), "bucket")

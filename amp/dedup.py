@@ -400,9 +400,11 @@ def embedding_lsh_near_dup(
         .select("left_id", "right_id")
         .distinct()
     )
+    from .ann import _dot
+
     lhs = d.select(F.col("id").alias("left_id"), F.col("v").alias("lv"), F.col("n").alias("ln"))
     rhs = d.select(F.col("id").alias("right_id"), F.col("v").alias("rv"), F.col("n").alias("rn"))
-    dot = F.expr("aggregate(zip_with(lv, rv, (x, y) -> x * y), 0.0D, (a, v) -> a + v)")
+    dot = _dot("lv", "rv")
     return (
         cand.join(lhs, "left_id")
         .join(rhs, "right_id")

@@ -54,7 +54,7 @@ def _corpus_path(spark, n_base: int) -> str:
     return path
 
 
-def stage_metrics(spark, top_n: int = 12) -> list[dict]:
+def stage_metrics(spark, top_n: int = 12) -> tuple[list[dict], dict]:
     """Per-stage shuffle/input bytes + executor time from the live UI
     REST API (requires spark.ui.enabled=true) — the itemized shuffle
     budget behind the scaling-efficiency number. Sorted by shuffle
