@@ -333,6 +333,65 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["join_orders_customer"] = q_join
 
+    # ---- star schema: shipping-priority (TPC-H Q3 shape) ----
+    # selective dim filter broadcast against the two fact tables,
+    # partial-agg revenue, global top-10
+    def q_star_q3(spark, sf_dir):
+        c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        cut = F.lit("1998-06-01").cast("timestamp")
+        return (
+            li.where(F.col("l_shipdate") > cut)
+            .join(o.where(F.col("o_orderdate") < cut), F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(
+                F.broadcast(c.where(F.col("c_mktsegment") == "BUILDING")),
+                F.col("o_custkey") == F.col("c_custkey"),
+            )
+            .groupBy("l_orderkey", "o_orderdate")
+            .agg(
+                F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue")
+            )
+            .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+            .limit(10)
+        )
+
+    q["star_shipping_priority"] = q_star_q3
+
+    # ---- star schema: local-supplier volume (TPC-H Q5 shape) ----
+    # six-way join: three broadcast dims + co-keyed facts, grouped
+    # revenue per nation
+    def q_star_q5(spark, sf_dir):
+        r = spark.read.parquet(f"{sf_dir}/region.parquet")
+        n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+        s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+        c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        lo = F.lit("1996-01-01").cast("timestamp")
+        hi = F.lit("1998-01-01").cast("timestamp")
+        dims = (
+            n.join(F.broadcast(r.where(F.col("r_name") == "ASIA")),
+                   F.col("n_regionkey") == F.col("r_regionkey"))
+        )
+        return (
+            li.join(o.where((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)),
+                    F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+            .join(c, F.col("o_custkey") == F.col("c_custkey"))
+            # local-supplier condition: customer and supplier share a nation
+            .where(F.col("c_nationkey") == F.col("s_nationkey"))
+            .join(F.broadcast(dims), F.col("s_nationkey") == F.col("n_nationkey"))
+            .groupBy("n_name")
+            .agg(
+                F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"),
+                F.count("*").alias("n_lineitems"),
+            )
+            .orderBy(F.desc("revenue"))
+        )
+
+    q["star_local_supplier_volume"] = q_star_q5
+
     # ---- core relational: window over events ----
     def q_events(spark, sf_dir):
         from pyspark.sql import Window
@@ -699,6 +758,37 @@ ORDER BY l_returnflag, l_linestatus
 SELECT c_mktsegment, count(*) AS n_orders, round(sum(o_totalprice), 4) AS total_price
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment
+"""
+
+    o["star_shipping_priority"] = """
+SELECT l_orderkey, o_orderdate,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-06-01'
+  AND l_shipdate > TIMESTAMP '1998-06-01'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+    o["star_local_supplier_volume"] = """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       count(*) AS n_lineitems
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC
 """
 
     o["window_events_topk"] = """

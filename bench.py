@@ -150,6 +150,8 @@ def run_headline(spark, sf_dir: str) -> dict[str, float]:
         "text_fingerprints",
         "agg_lineitem",
         "join_orders_customer",
+        "star_shipping_priority",
+        "star_local_supplier_volume",
         "window_events_topk",
     ]
     times: dict[str, float] = {}
