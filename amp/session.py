@@ -57,6 +57,11 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", str(4 * 1024 * 1024))
         .config("spark.sql.files.openCostInBytes", str(512 * 1024))
     )
+    gc_opts = os.environ.get("AMP_GC_OPTS")
+    if gc_opts:
+        # e.g. -XX:+UseParallelGC: measured slightly better than G1 on
+        # this host's allocation-heavy string workloads (BENCH notes)
+        builder = builder.config("spark.driver.extraJavaOptions", gc_opts)
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)

@@ -235,7 +235,11 @@ def run_scaling(
             ]
             env = dict(os.environ)
             # larger heap for the measurement JVM: GC pressure is part
-            # of the thread-anti-scaling this host shows on shuffle work
+            # of the thread-anti-scaling this host shows on shuffle
+            # work. NB ParallelGC was tried via AMP_GC_OPTS and measured
+            # WORSE than default G1 on the full pipeline (0.606 vs
+            # 0.698 efficiency) despite helping the string
+            # microbenchmark — the hook stays, the default does not.
             env.setdefault("AMP_DRIVER_MEM", "16g")
             out = subprocess.run(
                 cmd, capture_output=True, text=True,
