@@ -31,4 +31,4 @@ exec spark-submit \
   --conf spark.sql.adaptive.enabled=true \
   --conf spark.sql.adaptive.skewJoin.enabled=true \
   --conf spark.sql.execution.arrow.pyspark.enabled=true \
-  amp/pipeline.py "${APP_ARGS[@]}"
+  scripts/run_pipeline.py "${APP_ARGS[@]}"

@@ -156,3 +156,21 @@ def test_snapshot_pins_file_set_and_gates_resume(spark, tmp_path_factory):
     assert calls["n"] == 2
     assert out.count() == 100
     assert ck.verify_snapshot("nums")
+
+
+def test_spark_submit_pyfiles_launcher():
+    """north_rule packaging contract: the pipeline must actually run
+    via `spark-submit --py-files amp.zip` (a thin launcher outside the
+    package — the package module itself cannot be the app file because
+    spark-submit executes it with no package context)."""
+    import subprocess
+
+    out = subprocess.run(
+        ["bash", "scripts/submit.sh", "--master", "local[4]", "--", "--gen", "120"],
+        capture_output=True, text=True, timeout=300,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
+    assert out.returncode == 0 and lines, out.stderr[-2000:]
+    res = json.loads(lines[-1])
+    assert res["records"] == 169 and res["clusters"] == 126
