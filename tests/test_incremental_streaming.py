@@ -230,3 +230,43 @@ def test_ingest_stats_stream_windowed_counts(spark, tmp_path_factory):
         by_lang[r["lang"]] = by_lang.get(r["lang"], 0) + r["n_records"]
     assert by_lang == {"py": 4, "go": 4}
     assert all(r["window"].start is not None for r in rows)
+
+
+def test_match_stream_continuous_matching(spark, small_corpus, index, tmp_path_factory):
+    """foreachBatch continuous matching: files landing in the stream
+    directory are matched against the prebuilt index per micro-batch
+    (the streaming form of the reference's POST /match loop)."""
+    from amp import streaming
+
+    files, _ = small_corpus
+    land = str(tmp_path_factory.mktemp("match_land"))
+    ckp = str(tmp_path_factory.mktemp("match_ck"))
+    # resubmit 3 known index records as the query stream — under a new
+    # repo so the query record_ids differ from their index copies
+    # (match_records excludes identical-id self pairs)
+    files.limit(3).withColumn(
+        "repo", F.concat(F.lit("query/"), F.col("repo"))
+    ).write.mode("append").parquet(land)
+
+    got: list = []
+
+    def on_batch(matches_df, epoch_id):
+        got.extend(matches_df.collect())
+
+    stream = streaming.read_file_stream(spark, land)
+    q = streaming.match_stream(stream, index, on_batch, checkpoint_path=ckp)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    assert got, "stream batch produced no matches"
+    best_by_query: dict = {}
+    for r in got:
+        cur = best_by_query.get(r["query_id"])
+        if cur is None or r["rank"] < cur["rank"]:
+            best_by_query[r["query_id"]] = r
+    # every resubmitted record finds its exact index copy at rank 1
+    assert len(best_by_query) == 3
+    for r in best_by_query.values():
+        assert r["rank"] == 1 and r["score"] > 0.9
