@@ -546,7 +546,8 @@ WITH tl AS (
 ),
 shl AS (
   SELECT doc_id,
-         CASE WHEN len(l) < 3 THEN [array_to_string(l, ' ')]
+         CASE WHEN len(l) = 0 THEN []::VARCHAR[]
+              WHEN len(l) < 3 THEN [array_to_string(l, ' ')]
               ELSE list_transform(range(len(l) - 2),
                                   i -> l[i+1] || ' ' || l[i+2] || ' ' || l[i+3])
          END AS shingles
@@ -561,6 +562,8 @@ FROM keys l JOIN keys r ON l.band = r.band AND l.band_key = r.band_key
 WHERE l.doc_id < r.doc_id
 """
 
+    # LEFT joins: a candidate pair with zero shared tokens (or a
+    # token-less doc) is reported with jaccard 0.0, never dropped
     o["dedup_ngram_jaccard"] = f"""
 WITH {_TOKS_CTE}, {_DTOKS_CTE},
 sizes AS (SELECT doc_id, count(*) AS n_tok FROM dtoks GROUP BY doc_id),
@@ -572,11 +575,15 @@ inter AS (
   JOIN dtoks rt ON rt.doc_id = p.right_id AND rt.token = lt.token
   GROUP BY p.left_id, p.right_id
 )
-SELECT i.left_id, i.right_id,
-       round(i.n_inter / (ls.n_tok + rs.n_tok - i.n_inter), 6) AS jaccard
-FROM inter i
-JOIN sizes ls ON ls.doc_id = i.left_id
-JOIN sizes rs ON rs.doc_id = i.right_id
+SELECT p.left_id, p.right_id,
+       round(CASE WHEN coalesce(ls.n_tok, 0) + coalesce(rs.n_tok, 0) - coalesce(i.n_inter, 0) > 0
+                  THEN coalesce(i.n_inter, 0)
+                       / (coalesce(ls.n_tok, 0) + coalesce(rs.n_tok, 0) - coalesce(i.n_inter, 0))
+                  ELSE 0.0 END, 6) AS jaccard
+FROM pairs p
+LEFT JOIN inter i ON i.left_id = p.left_id AND i.right_id = p.right_id
+LEFT JOIN sizes ls ON ls.doc_id = p.left_id
+LEFT JOIN sizes rs ON rs.doc_id = p.right_id
 """
 
     votes = ",\n".join(
@@ -613,6 +620,8 @@ WITH scored AS (
                   * sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))), 6) AS cosine
   FROM embeddings q, embeddings c
   WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id
+    AND list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]) > 0
+    AND list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]) > 0
 )
 SELECT query_id, corpus_id, cosine, rnk FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id ASC) AS rnk
@@ -622,13 +631,17 @@ SELECT query_id, corpus_id, cosine, rnk FROM (
 
     # IVF: nearest-centroid assignment (squared-L2, ties -> lower id),
     # queries probe 4 nearest lists, exact cosine top-5 inside them
+    # NB centroid selection is over the RAW corpus (the Spark build does
+    # not norm-filter); the zero-norm guard applies to the rows being
+    # assigned/probed/scored, mirroring ann.ivf_topk exactly
     o["ann_ivf_topk"] = """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 cent AS (SELECT vec_id AS c, v AS cv FROM e ORDER BY vec_id LIMIT 16),
+e2 AS (SELECT * FROM e WHERE list_dot_product(v, v) > 0),
 cd AS (
-  SELECT e.vec_id, cent.c,
-         list_sum(list_transform(range(1, 65), i -> (e.v[i] - cent.cv[i]) ^ 2)) AS d
-  FROM e, cent
+  SELECT e2.vec_id, cent.c,
+         list_sum(list_transform(range(1, 65), i -> (e2.v[i] - cent.cv[i]) ^ 2)) AS d
+  FROM e2, cent
 ),
 ranked AS (
   SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, c ASC) AS rn
@@ -879,7 +892,8 @@ WHERE round(list_dot_product(le.v, re.v)
     bucket_sql = _sign_bucket_sql(_lsh_planes(64, 4, 42))
     probe_masks = ",".join(f"({m})" for m in [0, 1, 2, 4, 8])
     o["ann_lsh_topk"] = f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+           WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
 b AS (SELECT vec_id, v, {bucket_sql} AS bucket FROM e),
 probes AS (
   SELECT vec_id AS query_id, v AS qv, xor(bucket, m.m) AS bucket

@@ -44,13 +44,20 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector (self-matches
     excluded). Broadcast the query side — at scale the corpus streams
-    once and never shuffles."""
-    c = corpus.select(
-        F.col(id_col).alias("corpus_id"), _as_double(vec_col).alias("cv")
-    ).withColumn("cn", _norm("cv"))
-    q = queries.select(
-        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")
-    ).withColumn("qn", _norm("qv"))
+    once and never shuffles. Zero-norm vectors are excluded on both
+    sides: their cosine is NaN, and Spark sorts NaN ABOVE every real
+    double in a descending window, so an all-zero embedding would
+    otherwise take rank 1 for every query."""
+    c = (
+        corpus.select(F.col(id_col).alias("corpus_id"), _as_double(vec_col).alias("cv"))
+        .withColumn("cn", _norm("cv"))
+        .where(F.col("cn") > 0)
+    )
+    q = (
+        queries.select(F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv"))
+        .withColumn("qn", _norm("qv"))
+        .where(F.col("qn") > 0)
+    )
     scored = (
         c.join(F.broadcast(q))
         .where(F.col("query_id") != F.col("corpus_id"))
@@ -171,18 +178,23 @@ def ivf_topk(
         struct<d,c> orders lexicographically)."""
         return F.transform(F.array_sort(_dist_structs(vc)), lambda s: s["c"])
 
-    c = corpus.select(
-        F.col(id_col).alias("corpus_id"), _as_double(vec_col).alias("cv")
-    ).withColumn(
-        # assignment needs only the argmin: array_min on the struct
-        # array (O(C)) instead of sorting the whole ranking (O(C log C))
-        "list_id", F.array_min(_dist_structs("cv"))["c"]
-    ).withColumn("cn", _norm("cv"))
+    c = (
+        corpus.select(F.col(id_col).alias("corpus_id"), _as_double(vec_col).alias("cv"))
+        .withColumn(
+            # assignment needs only the argmin: array_min on the struct
+            # array (O(C)) instead of sorting the whole ranking (O(C log C))
+            "list_id", F.array_min(_dist_structs("cv"))["c"]
+        )
+        .withColumn("cn", _norm("cv"))
+        # zero-norm guard: NaN cosine ranks first in a desc window
+        .where(F.col("cn") > 0)
+    )
     q = (
         queries.select(F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv"))
         .withColumn("probe_lists", F.slice(_ranked_lists("qv"), 1, n_probe))
         .withColumn("list_id", F.explode("probe_lists"))
         .withColumn("qn", _norm("qv"))
+        .where(F.col("qn") > 0)
         .select("query_id", "qv", "qn", "list_id")
     )
     scored = (
@@ -211,7 +223,6 @@ def bucket_expr(vec_col: str, planes: list[list[float]]):
     frequency-dictionary-sized constant)."""
     bucket = F.lit(0)
     for j, p in enumerate(planes):
-        arr = F.array(*[F.lit(float(x)) for x in p])
         dot = F.expr(
             f"aggregate(zip_with({vec_col}, array({','.join(str(float(x)) for x in p)}), "
             f"(x, y) -> x * y), 0.0D, (a, v) -> a + v)"
@@ -250,13 +261,16 @@ def lsh_topk(
     c = (
         corpus.select(F.col(id_col).alias("corpus_id"), _as_double(vec_col).alias("cv"))
         .withColumn("bucket", bucket_expr("cv", planes))
-        # norms once per record, not once per candidate pair
+        # norms once per record, not once per candidate pair; zero-norm
+        # vectors excluded (NaN cosine would rank first, see brute force)
         .withColumn("cn", _norm("cv"))
+        .where(F.col("cn") > 0)
     )
     q = (
         queries.select(F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv"))
         .withColumn("bucket0", bucket_expr("qv", planes))
         .withColumn("qn", _norm("qv"))
+        .where(F.col("qn") > 0)
     )
 
     # probe set: exact bucket + every bucket within probe_hamming bit flips.

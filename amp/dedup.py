@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .text import tokens_col
@@ -46,16 +46,24 @@ def _distinct_tokens(docs: DataFrame) -> DataFrame:
 
 
 def _shingles_col(text_col: str = "text", k: int = 3):
-    """Word k-shingles of the tokenized text (whole text when shorter) —
-    the unit of MinHash. Token unigrams would be degenerate on
-    small-vocabulary corpora (every doc contains the global min token)."""
+    """Word k-shingles of the tokenized text (whole text when shorter,
+    nothing at all for token-less docs — an empty/punctuation-only doc
+    must NOT contribute the shared '' shingle, which would glue every
+    such doc into one mega-bucket across all bands). Token unigrams
+    would be degenerate on small-vocabulary corpora (every doc contains
+    the global min token)."""
+    toks_sql = f"filter(split(lower({text_col}), '{'[^a-z0-9]+'}'), x -> x != '')"
     toks = tokens_col(text_col)
     whole = F.array(F.concat_ws(" ", toks))
     slid = F.expr(
-        f"transform(sequence(1, size(filter(split(lower(text), '{'[^a-z0-9]+'}'), x -> x != '')) - {k - 1}), "
-        f"i -> concat_ws(' ', slice(filter(split(lower(text), '{'[^a-z0-9]+'}'), x -> x != ''), i, {k})))"
+        f"transform(sequence(1, size({toks_sql}) - {k - 1}), "
+        f"i -> concat_ws(' ', slice({toks_sql}, i, {k})))"
     )
-    return F.when(F.size(toks) < k, whole).otherwise(slid)
+    return (
+        F.when(F.size(toks) == 0, F.expr("array()"))
+        .when(F.size(toks) < k, whole)
+        .otherwise(slid)
+    )
 
 
 def _distinct_shingles(docs: DataFrame, k: int = 3) -> DataFrame:
@@ -75,17 +83,17 @@ def minhash_band_keys(docs: DataFrame, bands: int = 4) -> DataFrame:
         for b in range(bands)
     ]
     agg = sh.groupBy("doc_id").agg(*mins)
-    pairs = []
-    for b in range(bands):
-        pairs.append(
-            agg.select(
-                "doc_id", F.lit(b).alias("band"), F.col(f"mh_{b}").alias("band_key")
-            )
-        )
-    out = pairs[0]
-    for p in pairs[1:]:
-        out = out.unionByName(p)
-    return out
+    # one explode pass instead of a bands-way union of projections over
+    # the same aggregate (same unpivot idiom as _banded_fp_pairs)
+    keys = F.array(
+        *[
+            F.struct(F.lit(b).alias("band"), F.col(f"mh_{b}").alias("band_key"))
+            for b in range(bands)
+        ]
+    )
+    return agg.select("doc_id", F.explode(keys).alias("bk")).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
+    )
 
 
 def minhash_lsh_pairs(docs: DataFrame, bands: int = 4) -> DataFrame:
@@ -102,8 +110,11 @@ def minhash_lsh_pairs(docs: DataFrame, bands: int = 4) -> DataFrame:
 
 
 def ngram_jaccard(docs: DataFrame, pairs: DataFrame) -> DataFrame:
-    """Exact token-set Jaccard for candidate pairs via double explode +
-    intersection count — the verification step after LSH. Shuffles on
+    """Exact token-set Jaccard for EVERY candidate pair via double
+    explode + intersection count — the verification step after LSH.
+    Pairs with zero shared tokens come back with jaccard 0.0 (left
+    join + coalesce), never silently dropped: the caller handed us the
+    candidate set and must see a verdict for all of it. Shuffles on
     doc_id (token lists re-joined per side), never on token."""
     toks = _distinct_tokens(docs)
     sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
@@ -116,14 +127,21 @@ def ngram_jaccard(docs: DataFrame, pairs: DataFrame) -> DataFrame:
         .agg(F.count("*").alias("n_inter"))
     )
     return (
-        inter.join(sizes.withColumnRenamed("doc_id", "left_id").withColumnRenamed("n_tok", "l_n"), "left_id")
-        .join(sizes.withColumnRenamed("doc_id", "right_id").withColumnRenamed("n_tok", "r_n"), "right_id")
+        pairs.join(inter, ["left_id", "right_id"], "left")
+        .withColumn("n_inter", F.coalesce("n_inter", F.lit(0)))
+        # sizes joins are left too: a token-less doc has no sizes row
+        .join(sizes.withColumnRenamed("doc_id", "left_id").withColumnRenamed("n_tok", "l_n"), "left_id", "left")
+        .join(sizes.withColumnRenamed("doc_id", "right_id").withColumnRenamed("n_tok", "r_n"), "right_id", "left")
+        .withColumn("l_n", F.coalesce("l_n", F.lit(0)))
+        .withColumn("r_n", F.coalesce("r_n", F.lit(0)))
         .select(
             "left_id",
             "right_id",
             F.round(
-                F.col("n_inter")
-                / (F.col("l_n") + F.col("r_n") - F.col("n_inter")),
+                F.when(
+                    F.col("l_n") + F.col("r_n") - F.col("n_inter") > 0,
+                    F.col("n_inter") / (F.col("l_n") + F.col("r_n") - F.col("n_inter")),
+                ).otherwise(F.lit(0.0)),
                 6,
             ).alias("jaccard"),
         )
@@ -136,6 +154,11 @@ def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
     is positive. Expressed with explode + conditional sums — fully
     built-in (no UDF), and SQL-oracle-able via the same md5 nibble
     arithmetic."""
+    if bits > 128:
+        raise ValueError(
+            f"simhash: bits={bits} exceeds the md5 digest (128 bits) — "
+            "higher bits would be silently constant"
+        )
     toks = _distinct_tokens(docs)
     # bit j of the md5: nibble = hex digit at position j//4, bit = j%4
     bit_votes = []
@@ -171,11 +194,17 @@ def _banded_fp_pairs(
     base, extra = divmod(total_bits, n_bands)
     widths = [base + 1] * extra + [base] * (n_bands - extra)
     offsets = [sum(widths[:b]) for b in range(n_bands)]
+
+    def _mask(width: int):
+        # (1 << 64) - 1 overflows a signed long literal; -1 is the same
+        # all-ones bit pattern for a full-width band
+        return F.lit(-1 if width >= 64 else (1 << width) - 1)
+
     keys = [
         F.struct(
             F.lit(b).alias("band"),
             F.shiftrightunsigned(F.col(fp_col), offsets[b])
-            .bitwiseAND(F.lit((1 << widths[b]) - 1))
+            .bitwiseAND(_mask(widths[b]))
             .alias("bucket"),
         )
         for b in range(n_bands)
@@ -252,12 +281,13 @@ def simhash64_near_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
 
 
 def _vec_norm(embs: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    from .ann import _as_double, _norm
+
     return embs.select(
-        F.col(id_col).alias("id"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+        F.col(id_col).alias("id"), _as_double(vec_col).alias("v")
     ).withColumn(
         # norms once per record, not once per pair (n vs n^2 aggregates)
-        "n", F.sqrt(F.expr("aggregate(v, 0.0D, (a, x) -> a + x * x)"))
+        "n", _norm("v")
     )
 
 

@@ -233,3 +233,35 @@ def test_embedding_tiled_string_ids(spark):
         (f"doc{i:03d}", f"doc{j:03d}") for (i, j) in _brute_cosine_pairs(mat, 0.4)
     }
     assert got == want and len(want) > 0
+
+
+def test_ann_zero_norm_vectors_never_rank(spark):
+    """An all-zero embedding gives NaN cosine, and Spark sorts NaN above
+    every real double descending — the guard must keep it out of every
+    top-k (it would otherwise take rank 1 for all queries)."""
+    rng = np.random.RandomState(12)
+    mat = rng.standard_normal((40, 8)).astype(np.float32)
+    mat[7] = 0.0  # corpus zero vector
+    corpus = _vec_df(spark, mat)
+    queries = corpus.where(F.col("vec_id") < 3)
+    for df in (
+        ann.brute_force_topk(corpus, queries, k=5),
+        ann.lsh_topk(corpus, queries, k=5, bits=4, dim=8, probe_hamming=2),
+        ann.ivf_topk(corpus, queries, k=5, n_centroids=4, n_probe=4),
+    ):
+        rows = df.collect()
+        assert rows and all(r["corpus_id"] != 7 for r in rows)
+        assert all(r["cosine"] == r["cosine"] for r in rows)  # no NaN
+
+
+def test_ngram_jaccard_zero_overlap_pairs_reported(spark):
+    """Candidate pairs with zero shared tokens come back with
+    jaccard 0.0 — never silently dropped."""
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta epsilon zeta"), (3, "alpha beta x")],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame([(1, 2), (1, 3)], "left_id long, right_id long")
+    got = {(r.left_id, r.right_id): r.jaccard for r in dedup.ngram_jaccard(docs, pairs).collect()}
+    assert got[(1, 2)] == 0.0
+    assert abs(got[(1, 3)] - round(2 / 4, 6)) < 1e-9
