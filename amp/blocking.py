@@ -183,13 +183,17 @@ def candidate_pairs(
           outputs are computed by s tasks instead of one.
       m > max_block_size        : dropped (counted in dropped_blocks()).
     """
-    if stats is None:
-        stats = block_stats(blocks)
-    # NB: stats is block-count-sized (can be millions of keys) — never
-    # force-broadcast it; the shuffle join on the int64 block_key is
-    # cheap and AQE will still broadcast when runtime stats are small
-    sized = blocks.join(
-        stats.select("block_key", "block_size"), "block_key"
+    # Block sizes via a count window over block_key: ONE shuffle of the
+    # blocks table and no second scan — strictly cheaper than the
+    # aggregate-then-join-back shape (blocks scanned twice + stats
+    # shuffled) at every scale. The separate block_stats() table remains
+    # the metrics surface (computed only when something acts on it);
+    # the ``stats`` parameter is kept for API compatibility but the
+    # sizes here are derived inline.
+    from pyspark.sql import Window
+
+    sized = blocks.withColumn(
+        "block_size", F.count("*").over(Window.partitionBy("block_key"))
     ).where(
         (F.col("block_size") > 1) & (F.col("block_size") <= cfg.max_block_size)
     )

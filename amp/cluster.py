@@ -115,7 +115,11 @@ def connected_components(
     shape that survives 10^12-file match graphs — takes over. Both
     paths produce identical assignments (asserted in tests).
     """
-    e0 = _canon(edges)
+    # Materialize the canonical edge set ONCE before the size probe:
+    # both the probe (count) and the chosen path (toPandas collect or
+    # the star loop) consume it, and without the checkpoint each action
+    # re-executes the full upstream threshold/union plan.
+    e0 = _canon(edges).localCheckpoint(eager=True)
     if cfg.cc_driver_cutoff > 0 and e0.count() <= cfg.cc_driver_cutoff:
         assign = _driver_union_find(e0)
         if all_nodes is not None:
@@ -132,7 +136,7 @@ def connected_components(
     # Eager materialization per iteration: each round adds ~4 shuffles of
     # lineage, and _signature() is an action — without cutting lineage the
     # k-th iteration would recompute the whole upstream pipeline k times.
-    e = e0.localCheckpoint(eager=True)
+    e = e0
     sig = _signature(e)
     converged = False
     for _ in range(cfg.cc_max_iters):

@@ -118,12 +118,14 @@ def build_index(
     (scoring.attach_embeddings)."""
     records = normalize.normalize(files, cfg, run_id=0).localCheckpoint(eager=True)
     # probe AFTER the checkpoint (see run_pipeline: avoids re-running
-    # the normalize kernel for a one-column uniqueness count)
-    deduped = normalize.dedupe_records(records)
-    if deduped is not records:
-        records = deduped.localCheckpoint(eager=True)
+    # the normalize kernel for a one-column uniqueness count); the probe
+    # job doubles as the IDF corpus-size count (uniqueness_stats)
+    n_rows, n_ids, n_contents = normalize.uniqueness_stats(records)
+    if n_ids != n_rows:
+        records = normalize.dedupe_full(records).localCheckpoint(eager=True)
+        _, _, n_contents = normalize.uniqueness_stats(records)
     reps = normalize.representatives(records).localCheckpoint(eager=True)
-    idf = features.idf_map(reps, reps.count(), cfg)
+    idf = features.idf_map(reps, n_contents, cfg)
     sides = scoring.side_features_onepass(reps, idf, cfg)
     if embeddings is not None:
         sides = scoring.attach_embeddings(

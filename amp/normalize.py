@@ -238,22 +238,32 @@ def representatives(records: DataFrame) -> DataFrame:
     return records.join(winners, ["content_sha", "record_id"], "leftsemi")
 
 
-def dedupe_records(records: DataFrame) -> DataFrame:
-    """Enforce record_id uniqueness on an ingested records table.
+def uniqueness_stats(records: DataFrame) -> tuple[int, int, int]:
+    """(n_rows, n_distinct_ids, n_distinct_contents) in ONE pruned-column
+    aggregation job. Serves three pipeline needs at once:
+      * dedupe probe: n_rows == n_distinct_ids means record_id is unique
+      * reps count:   when ids are unique, representatives() emits exactly
+        one row per distinct content_sha, so n_distinct_contents IS the
+        IDF corpus size — no separate reps.count() job
+      * records count for lineage/metrics.
+    Two exact countDistincts expand the thin (record_id, content_sha)
+    projection 3x — still far cheaper than the three separate jobs this
+    replaces (each full-stage-scheduled on its own)."""
+    row = records.agg(
+        F.count("*").alias("n"),
+        F.countDistinct("record_id").alias("d_id"),
+        F.countDistinct("content_sha").alias("d_sha"),
+    ).first()
+    return int(row["n"]), int(row["d_id"]), int(row["d_sha"])
 
-    Clean inputs pay ONE pruned-column aggregation (record_id only —
-    tens of bytes per row); only when duplicate ids actually exist
-    (re-ingested batches, corrupt feeds) does the deterministic full
-    dedup run (window keeping the min-content_sha row — never
-    dropDuplicates, whose surviving row is nondeterministic and would
-    break resume-equals-fresh)."""
+
+def dedupe_full(records: DataFrame) -> DataFrame:
+    """Deterministic full dedup: one row per record_id, min-content_sha
+    wins (never dropDuplicates, whose surviving row is nondeterministic
+    and would break resume-equals-fresh). Only run when duplicate ids
+    actually exist — see uniqueness_stats()."""
     from pyspark.sql import Window
 
-    n_dup = (
-        records.groupBy("record_id").count().where(F.col("count") > 1).limit(1).count()
-    )
-    if not n_dup:
-        return records
     import logging
 
     logging.getLogger("amp.normalize").warning(
@@ -266,6 +276,20 @@ def dedupe_records(records: DataFrame) -> DataFrame:
         .where(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+def dedupe_records(records: DataFrame) -> DataFrame:
+    """Enforce record_id uniqueness on an ingested records table.
+
+    Clean inputs pay ONE pruned-column aggregation; only when duplicate
+    ids actually exist (re-ingested batches, corrupt feeds) does the
+    deterministic full dedup run. The pipeline driver uses
+    uniqueness_stats() directly so the probe job is fused with the
+    reps-count job; this wrapper serves standalone callers."""
+    n, d_id, _ = uniqueness_stats(records)
+    if n == d_id:
+        return records
+    return dedupe_full(records)
 
 
 def exact_edges(records: DataFrame) -> DataFrame:

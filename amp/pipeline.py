@@ -59,11 +59,17 @@ def run_pipeline(
     # uniqueness probe AFTER materialization: probing the raw normalize
     # plan would re-run the whole Arrow kernel (mapInPandas output is
     # not column-prunable); against the pinned/checkpointed table the
-    # probe is a cheap one-column aggregation. Clean inputs return the
-    # same frame; a dirty input yields a new (deduped) plan -> re-pin.
-    deduped = normalize.dedupe_records(records)
-    if deduped is not records:
+    # probe is a cheap pruned-column aggregation — fused with the IDF
+    # corpus-size count into ONE job (uniqueness_stats): when record_id
+    # is unique, reps emits exactly one row per distinct content_sha,
+    # so n_contents IS reps.count() and that job disappears. Clean
+    # inputs keep the same frame; a dirty input yields a new (deduped)
+    # plan -> re-pin + re-count (rare path pays the extra job).
+    n_rows, n_ids, n_contents = normalize.uniqueness_stats(records)
+    if n_ids != n_rows:
+        deduped = normalize.dedupe_full(records)
         records = pin(deduped) if ck is None else deduped
+        _, _, n_contents = normalize.uniqueness_stats(records)
 
     reps = stage("reps", lambda: normalize.representatives(records))
     if ck is None:
@@ -75,7 +81,7 @@ def run_pipeline(
     if cfg.broadcast_idf:
         # -- default path: broadcast IDF dict + one-pass feature kernel --
         def _sides():
-            idf = features.idf_map(reps, reps.count(), cfg)
+            idf = features.idf_map(reps, n_contents, cfg)
             s = scoring.side_features_onepass(reps, idf, cfg)
             if embeddings is not None:
                 s = scoring.attach_embeddings(
@@ -114,7 +120,7 @@ def run_pipeline(
 
         def _postings():
             counts = features.term_counts(reps)
-            idf = features.idf_dict(counts, reps.count(), cfg)
+            idf = features.idf_dict(counts, n_contents, cfg)
             return features.postings(counts, idf)
 
         post = stage("postings", _postings)
