@@ -443,11 +443,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _docs(spark, sf_dir), bits=16, max_hamming=3
     )
 
-    # ---- flagship (non-SQL: CC iteration + pandas UDFs) ----
-    def q_er(spark, sf_dir):
-        return entry(spark)
+    # ---- J6 + CC: transitive clustering with a bit-exact SQL oracle ----
+    # The REAL clustering operator (amp.cluster.connected_components —
+    # driver union-find / large-small-star, the same code the flagship
+    # pipeline runs) over an oracle-exact edge set: thresholded tf-idf
+    # dot on the blocked candidate pairs. The DuckDB twin computes the
+    # identical closure via WITH RECURSIVE min-label reachability, so
+    # the CC fixpoint itself is hash-checked, not rows-only.
+    def q_er_clusters(spark, sf_dir):
+        from amp.cluster import connected_components
 
-    q["er_pipeline_clusters"] = q_er
+        d = _docs(spark, sf_dir)
+        dot = features.doc_pair_dot(d, _src_pairs(spark, sf_dir))
+        edges = dot.where(F.col("tfidf_dot") >= 0.002).select("left_id", "right_id")
+        assign = connected_components(
+            edges, all_nodes=d.select(F.col("doc_id").alias("record_id"))
+        )
+        return assign.select(F.col("record_id").alias("doc_id"), "cluster_id")
+
+    q["er_pipeline_clusters"] = q_er_clusters
 
     return q
 
@@ -913,6 +927,37 @@ SELECT query_id, corpus_id, cosine, rnk FROM (
 ) WHERE rnk <= 5
 """
 
-    # er_pipeline_clusters: no oracle — driver-side CC fixpoint +
-    # pandas UDFs (non-SQL-expressible); rows-only by design
+    # er_pipeline_clusters: transitive closure over the threshold-edge
+    # set (the same edge SQL as threshold_filter) via WITH RECURSIVE
+    # min-label reachability — cluster_id = min doc_id of the component,
+    # singletons self-labeled. Closes the last no_oracle exemption: the
+    # CC fixpoint is now hash-checked against DuckDB.
+    o["er_pipeline_clusters"] = (
+        _TFIDF_CTES.replace("WITH ", "WITH RECURSIVE ", 1)
+        + f""",
+pairs AS ({_SRC_PAIRS_SQL}),
+edges AS (
+  SELECT p.left_id, p.right_id
+  FROM pairs p
+  JOIN post pl ON pl.doc_id = p.left_id
+  JOIN post pr ON pr.doc_id = p.right_id AND pr.token = pl.token
+  GROUP BY p.left_id, p.right_id
+  HAVING round(sum(pl.tfidf * pr.tfidf), 6) >= 0.002
+),
+sym AS (
+  SELECT left_id AS u, right_id AS v FROM edges
+  UNION
+  SELECT right_id, left_id FROM edges
+),
+reach(u, v) AS (
+  SELECT u, v FROM sym
+  UNION
+  SELECT r.u, s.v FROM reach r JOIN sym s ON s.u = r.v WHERE s.v <> r.u
+),
+labels AS (SELECT u AS doc_id, min(v) AS mn FROM reach GROUP BY u)
+SELECT d.doc_id, coalesce(least(l.doc_id, l.mn), d.doc_id) AS cluster_id
+FROM documents d
+LEFT JOIN labels l ON l.doc_id = d.doc_id
+"""
+    )
     return o

@@ -92,7 +92,12 @@ def _driver_union_find(e: DataFrame) -> DataFrame:
     rows = sorted((x, find(x)) for x in nodes)
     spark = e.sparkSession
     if not rows:
-        return spark.createDataFrame([], "record_id string, cluster_id string")
+        # schema follows the edge id type (string record_ids in the ER
+        # pipeline, int64 doc_ids in the documents-table queries)
+        id_type = e.schema["u"].dataType.simpleString()
+        return spark.createDataFrame(
+            [], f"record_id {id_type}, cluster_id {id_type}"
+        )
     return spark.createDataFrame(
         pd.DataFrame(rows, columns=["record_id", "cluster_id"])
     )
