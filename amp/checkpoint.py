@@ -66,7 +66,13 @@ class CheckpointManager:
         snapshot id is a digest of that file list. On a real Iceberg
         catalog this column would hold the table snapshot id — the
         CONTRACT exercised here is the same: a stage row names an
-        immutable file set, and verify_snapshot detects any drift."""
+        immutable file set, and verify_snapshot detects any drift.
+
+        LIMITATION (documented, matching Iceberg's own manifest checks):
+        the digest covers file names + sizes, not file contents —
+        in-place corruption that preserves byte sizes passes
+        verification; content integrity belongs to the parquet readers'
+        page checksums, not the manifest."""
         base = self._run_partition_dir(stage)
         files = []
         for root, _, names in os.walk(base):
@@ -90,8 +96,20 @@ class CheckpointManager:
             return False
         with open(self._manifest_path(stage)) as fh:
             recorded = json.load(fh)
+        if "snapshot" not in recorded:
+            # legacy manifest written before snapshots existed: distinct
+            # from tampering — accept it (the done-marker contract it
+            # was written under) but say so, instead of silently
+            # recomputing a valid checkpoint forever.
+            import logging
+
+            logging.getLogger("amp.checkpoint").info(
+                "stage %s: legacy manifest without a snapshot id — "
+                "accepted as valid; rewrite the stage to upgrade", stage
+            )
+            return True
         snap, _ = self._snapshot_of(stage)
-        return snap == recorded.get("snapshot")
+        return snap == recorded["snapshot"]
 
     # -- write / read ------------------------------------------------------
     def table_path(self, stage: str) -> str:

@@ -154,10 +154,16 @@ def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
     is positive. Expressed with explode + conditional sums — fully
     built-in (no UDF), and SQL-oracle-able via the same md5 nibble
     arithmetic."""
-    if bits > 128:
+    if bits > 63:
+        # the fingerprint is assembled as a SUM of 1<<j literals into a
+        # single signed-long column: j=63 overflows the long literal, so
+        # the practical ceiling is 63 bits regardless of the md5 digest
+        # width. Wider fingerprints need the two-long/decimal layout of
+        # simhash64's production variant.
         raise ValueError(
-            f"simhash: bits={bits} exceeds the md5 digest (128 bits) — "
-            "higher bits would be silently constant"
+            f"simhash: bits={bits} exceeds the 63-bit signed-long "
+            "fingerprint budget (1<<j literals are summed into one long "
+            "column); use simhash64 for the 64-bit production variant"
         )
     toks = _distinct_tokens(docs)
     # bit j of the md5: nibble = hex digit at position j//4, bit = j%4

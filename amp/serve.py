@@ -87,7 +87,14 @@ class MatchService:
     def duplicates(self, limit: int = 1000) -> list[dict]:
         """POST /api/v1/duplicates: cluster the index's own records
         (reference self-match semantics, pkg/api/handler.go:82-102 —
-        extended to transitive clusters per the north rule)."""
+        extended to transitive clusters per the north rule).
+
+        COST NOTE: each call runs the full blocking+scoring+CC pipeline
+        over the index (request-scoped, like the reference's endpoint).
+        Deployments expecting interactive latency should materialize the
+        cluster table once (run_pipeline + checkpoint) and serve reads
+        from it; repeated unauthenticated calls to this endpoint are a
+        compute-exhaustion lever on the single-threaded server."""
         from .pipeline import run_pipeline
 
         out = run_pipeline(
@@ -130,8 +137,20 @@ def make_handler(service: MatchService):
             else:
                 self._send(404, {"error": "not found"})
 
+        # request bodies are match records (a few KB each); anything
+        # beyond this is a mistake or abuse — reject before reading it
+        # into driver memory (the server is single-threaded and bound to
+        # 127.0.0.1, but an unbounded read is still an OOM lever)
+        MAX_BODY_BYTES = 8 * 1024 * 1024
+
         def do_POST(self):
             n = int(self.headers.get("Content-Length", "0"))
+            if n > self.MAX_BODY_BYTES:
+                self._send(413, {
+                    "error": f"body too large ({n} bytes; cap "
+                             f"{self.MAX_BODY_BYTES})"
+                })
+                return
             try:
                 payload = json.loads(self.rfile.read(n) or b"{}")
             except json.JSONDecodeError:

@@ -59,8 +59,10 @@ def get_spark(
     )
     gc_opts = os.environ.get("AMP_GC_OPTS")
     if gc_opts:
-        # e.g. -XX:+UseParallelGC: measured slightly better than G1 on
-        # this host's allocation-heavy string workloads (BENCH notes)
+        # experiment hook only. -XX:+UseParallelGC helped a pure string
+        # microbenchmark but measured WORSE on the full pipeline
+        # (scaling efficiency 0.606 vs 0.698 — see bench.py run_scaling
+        # and BENCH notes); the default stays G1 deliberately.
         builder = builder.config("spark.driver.extraJavaOptions", gc_opts)
     if extra_conf:
         for k, v in extra_conf.items():
