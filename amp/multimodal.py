@@ -59,15 +59,176 @@ except ImportError:
     HAVE_PIL = False
 
 
+# ---------------------------------------------------------------------------
+# Pure-stdlib PNG codec (public format: RFC 2083 / W3C PNG spec).
+# Exists so the REAL decode branch executes even where Pillow is not
+# installed: zlib inflate + per-scanline unfilter is the whole decode
+# for non-interlaced 8-bit images. Supports color types 0 (gray),
+# 2 (RGB), 4 (gray+alpha), 6 (RGBA) at bit depth 8, interlace 0.
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def png_decode(payload: bytes) -> np.ndarray:
+    """PNG bytes -> float32 (H, W) grayscale in [0, 1] (ITU-R 601 luma
+    for color images). Raises ValueError on anything outside the
+    supported subset — callers decide whether to fall back."""
+    if not payload.startswith(_PNG_SIG):
+        raise ValueError("not a PNG (bad signature)")
+    pos = len(_PNG_SIG)
+    width = height = color_type = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (length,) = np.frombuffer(payload[pos : pos + 4], dtype=">u4")
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + int(length)]
+        pos += 12 + int(length)  # length + type + data + crc
+        if ctype == b"IHDR":
+            w, h = np.frombuffer(data[:8], dtype=">u4")
+            width, height = int(w), int(h)
+            depth, color_type, _comp, _filt, interlace = data[8:13]
+            if depth != 8:
+                raise ValueError(f"unsupported PNG bit depth {depth}")
+            if color_type not in _PNG_CHANNELS:
+                raise ValueError(f"unsupported PNG color type {color_type}")
+            if interlace != 0:
+                raise ValueError("interlaced PNG not supported")
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+    if width is None or not idat:
+        raise ValueError("truncated PNG (missing IHDR/IDAT)")
+    raw = zlib.decompress(bytes(idat))
+    ch = _PNG_CHANNELS[color_type]
+    stride = width * ch
+    if len(raw) != (stride + 1) * height:
+        raise ValueError("PNG data length mismatch")
+    out = np.empty((height, stride), dtype=np.uint8)
+    prior = np.zeros(stride, dtype=np.int32)
+    for y in range(height):
+        row_start = y * (stride + 1)
+        ftype = raw[row_start]
+        line = np.frombuffer(
+            raw[row_start + 1 : row_start + 1 + stride], dtype=np.uint8
+        ).astype(np.int32)
+        if ftype == 0:  # None
+            recon = line
+        elif ftype == 1:  # Sub
+            recon = line.copy()
+            for x in range(ch, stride):
+                recon[x] = (recon[x] + recon[x - ch]) & 0xFF
+        elif ftype == 2:  # Up
+            recon = (line + prior) & 0xFF
+        elif ftype == 3:  # Average
+            recon = line.copy()
+            for x in range(stride):
+                left = recon[x - ch] if x >= ch else 0
+                recon[x] = (recon[x] + ((left + prior[x]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            recon = line.copy()
+            for x in range(stride):
+                left = recon[x - ch] if x >= ch else 0
+                ul = prior[x - ch] if x >= ch else 0
+                recon[x] = (recon[x] + _paeth(int(left), int(prior[x]), int(ul))) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        out[y] = recon.astype(np.uint8)
+        prior = recon
+    px = out.reshape(height, width, ch).astype(np.float32)
+    if color_type == 0:
+        gray = px[:, :, 0]
+    elif color_type == 4:
+        gray = px[:, :, 0]  # alpha ignored (match PIL convert("L"))
+    else:  # RGB / RGBA -> ITU-R 601 luma, alpha ignored
+        gray = 0.299 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 2]
+    return gray / 255.0
+
+
+def png_encode(gray: np.ndarray, filter_type: int = 0) -> bytes:
+    """8-bit grayscale (H, W) uint8 -> PNG bytes. ``filter_type``
+    selects the per-scanline filter (0-4) so tests can exercise every
+    unfilter branch of png_decode; real encoders pick per-row."""
+    import struct
+
+    arr = np.asarray(gray, dtype=np.uint8)
+    h, w = arr.shape
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    scan = bytearray()
+    prior = np.zeros(w, dtype=np.int32)
+    for y in range(h):
+        row = arr[y].astype(np.int32)
+        if filter_type == 0:
+            filt = row
+        elif filter_type == 1:
+            filt = (row - np.concatenate(([0], row[:-1]))) & 0xFF
+        elif filter_type == 2:
+            filt = (row - prior) & 0xFF
+        elif filter_type == 3:
+            left = np.concatenate(([0], row[:-1]))
+            filt = (row - ((left + prior) >> 1)) & 0xFF
+        elif filter_type == 4:
+            filt = row.copy()
+            for x in range(w):
+                left = int(row[x - 1]) if x else 0
+                ul = int(prior[x - 1]) if x else 0
+                filt[x] = (int(row[x]) - _paeth(left, int(prior[x]), ul)) & 0xFF
+        else:
+            raise ValueError(f"filter_type {filter_type} out of range 0-4")
+        scan.append(filter_type)
+        scan += filt.astype(np.uint8).tobytes()
+        prior = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(scan)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _resize8(gray: np.ndarray) -> np.ndarray:
+    """Area-mean resize of an (H, W) grid to 8x8 (the stdlib analog of
+    the PIL resize; exact resampling kernels differ between the two
+    branches — both are valid 8x8 summaries, documented divergence)."""
+    h, w = gray.shape
+    ys = np.linspace(0, h, 9).astype(int)
+    xs = np.linspace(0, w, 9).astype(int)
+    out = np.empty((8, 8), dtype=np.float32)
+    for i in range(8):
+        for j in range(8):
+            block = gray[ys[i] : max(ys[i + 1], ys[i] + 1), xs[j] : max(xs[j + 1], xs[j] + 1)]
+            out[i, j] = float(block.mean())
+    return out
+
+
 def _decode_image(payload: bytes, allow_fake: bool = True) -> np.ndarray:
     """Decode a payload to a normalized 8x8 float grayscale grid.
 
-    Real path (when Pillow is importable): PIL open -> grayscale ->
-    8x8 resize. Payloads that fail to parse fall back to the
-    deterministic fake when allowed (a corrupt image must not kill a
-    100-TB pass; the fake is a stable content-derived stand-in), else
-    re-raise. Without Pillow: deterministic fake behind
-    AMP_FAKE_DECODE, NotImplementedError otherwise."""
+    Decode ladder:
+      1. Pillow (any format) when importable;
+      2. the pure-stdlib PNG codec above (real decode, no dependency);
+      3. the deterministic content-derived fake when allowed (a corrupt
+         payload must not kill a 100-TB pass), else re-raise /
+         NotImplementedError for non-PNG formats."""
     if HAVE_PIL:
         import io as _io
 
@@ -77,10 +238,16 @@ def _decode_image(payload: bytes, allow_fake: bool = True) -> np.ndarray:
         except Exception:
             if not allow_fake:
                 raise
-    if not allow_fake:
+    elif (payload or b"").startswith(_PNG_SIG):
+        try:
+            return _resize8(png_decode(payload))
+        except Exception:  # zlib.error / ValueError / truncation
+            if not allow_fake:
+                raise
+    elif not allow_fake:
         raise NotImplementedError(
-            "image decode requires PIL — not installed; "
-            "set AMP_FAKE_DECODE=1 for the deterministic fake"
+            "real decode for non-PNG formats requires PIL — not "
+            "installed; set AMP_FAKE_DECODE=1 for the deterministic fake"
         )
     h = hashlib.sha256(payload or b"").digest()
     grid = np.frombuffer((h * 2)[:64], dtype=np.uint8).reshape(8, 8)
@@ -146,7 +313,16 @@ def synth_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
     rows = []
     for i in range(n):
         kind = ["image", "audio", "video"][i % 3]
-        payload = hashlib.sha256(f"{seed}:{i}".encode()).digest() * (i % 7 + 1)
+        if kind == "image":
+            # REAL deterministic PNG payloads: the image rows exercise
+            # the actual decode branch (stdlib or PIL), not the fake
+            rng = np.random.RandomState(seed * 100_000 + i)
+            payload = png_encode(
+                rng.randint(0, 256, size=(8, 8), dtype=np.uint8),
+                filter_type=i % 5,
+            )
+        else:
+            payload = hashlib.sha256(f"{seed}:{i}".encode()).digest() * (i % 7 + 1)
         rows.append(
             {
                 "media_id": f"m{i:05d}",
