@@ -62,8 +62,30 @@ DEDUP_OUTPUT_SCHEMA = (
 )
 DEDUP_STATE_SCHEMA = "canonical_id string, n_seen long"
 
+# Ships inside Spark 4's JVM — no extra jar. The default HDFS-backed
+# provider keeps every state row on the executor HEAP; at 100-TB corpus
+# scale (state = one row per distinct content) that balloons executor
+# memory. RocksDB keeps state off-heap on executor-local disk with an
+# incremental changelog in the streaming checkpoint — the standard
+# production configuration for large stateful streams.
+ROCKSDB_STATE_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
 
-def dedup_stream(records_stream: DataFrame) -> DataFrame:
+
+def use_rocksdb_state_store(spark: SparkSession) -> None:
+    """Switch stateful streaming queries started AFTER this call to the
+    RocksDB state store (see ROCKSDB_STATE_PROVIDER). Session-wide conf:
+    a query pins its provider at first start and keeps it across
+    restarts from the same checkpoint."""
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", ROCKSDB_STATE_PROVIDER
+    )
+
+
+def dedup_stream(
+    records_stream: DataFrame, state_ttl_ms: int | None = None
+) -> DataFrame:
     """Custom STATEFUL streaming operator: continuous exact dedup via
     ``applyInPandasWithState`` keyed by content_sha. State per
     fingerprint = (canonical_id, n_seen); the first record to arrive
@@ -72,11 +94,33 @@ def dedup_stream(records_stream: DataFrame) -> DataFrame:
     ``is_duplicate`` with a pointer to the canonical — the streaming
     twin of normalize.exact_edges' star edges. State size is
     O(distinct contents), the same bound as the batch representatives
-    table; keys shard across executors by the groupBy hash."""
+    table; keys shard across executors by the groupBy hash.
+
+    100-TB state story: run under the RocksDB state store
+    (use_rocksdb_state_store — off-heap, disk-backed, changelog in the
+    checkpoint) and, for unbounded corpora, set ``state_ttl_ms``:
+    fingerprints idle longer than the TTL are EVICTED
+    (ProcessingTimeTimeout), bounding state to the active working set.
+    Documented tradeoff: a duplicate arriving after its fingerprint was
+    evicted is re-admitted as a new canonical — eviction trades
+    cross-epoch dedup completeness for bounded state, exactly like a
+    windowed dedup."""
     import pandas as pd
 
     def fn(key, pdfs, state):
         sha = key[0]
+        if state.hasTimedOut:
+            # TTL eviction: drop the fingerprint; nothing to emit
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "record_id": pd.Series([], dtype="object"),
+                    "content_sha": pd.Series([], dtype="object"),
+                    "canonical_id": pd.Series([], dtype="object"),
+                    "is_duplicate": pd.Series([], dtype="bool"),
+                }
+            )
+            return
         if state.exists:
             canonical, n_seen = state.get
         else:
@@ -93,6 +137,8 @@ def dedup_stream(records_stream: DataFrame) -> DataFrame:
             canonical = all_ids[0]
         n_seen += len(all_ids)
         state.update((canonical, n_seen))
+        if state_ttl_ms is not None:
+            state.setTimeoutDuration(state_ttl_ms)
         yield pd.DataFrame(
             {
                 "record_id": all_ids,
@@ -104,6 +150,11 @@ def dedup_stream(records_stream: DataFrame) -> DataFrame:
 
     from pyspark.sql.streaming.state import GroupStateTimeout
 
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if state_ttl_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
     return (
         records_stream.select("record_id", "content_sha")
         .groupBy("content_sha")
@@ -112,7 +163,7 @@ def dedup_stream(records_stream: DataFrame) -> DataFrame:
             DEDUP_OUTPUT_SCHEMA,
             DEDUP_STATE_SCHEMA,
             "append",
-            GroupStateTimeout.NoTimeout,
+            timeout,
         )
     )
 

@@ -270,3 +270,180 @@ def test_match_stream_continuous_matching(spark, small_corpus, index, tmp_path_f
     assert len(best_by_query) == 3
     for r in best_by_query.values():
         assert r["rank"] == 1 and r["score"] > 0.9
+
+
+def test_dedup_stream_rocksdb_state_store_restart(spark, tmp_path_factory):
+    """The 100-TB state story end-to-end: dedup_stream under the
+    RocksDB state store, stopped mid-stream and RESTARTED from its
+    checkpoint — state (the canonical id chosen in batch 1) must
+    survive the restart, and no batch may be emitted twice."""
+    from amp import streaming
+
+    land = str(tmp_path_factory.mktemp("rdb_land"))
+    outp = str(tmp_path_factory.mktemp("rdb_out"))
+    ckp = str(tmp_path_factory.mktemp("rdb_ck"))
+    schema = "record_id string, content_sha string, lang string, n_chars int"
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    streaming.use_rocksdb_state_store(spark)
+    try:
+
+        def start():
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(land)
+            )
+            return (
+                streaming.dedup_stream(stream)
+                .writeStream.format("parquet")
+                .option("path", outp)
+                .option("checkpointLocation", ckp)
+                .outputMode("append")
+                .start()
+            )
+
+        spark.createDataFrame(
+            [("r1", "A", "py", 10), ("r2", "A", "py", 10), ("r3", "B", "go", 20)],
+            schema,
+        ).coalesce(1).write.mode("append").parquet(land)
+        q = start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        # crash/restart boundary: new files land while the query is down
+        spark.createDataFrame(
+            [("r4", "A", "py", 10), ("r5", "C", "js", 5)], schema
+        ).coalesce(1).write.mode("append").parquet(land)
+        q = start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+    rows = spark.read.parquet(outp).collect()
+    by_id = {r["record_id"]: r for r in rows}
+    # exactly-once: every record emitted exactly once across the restart
+    assert len(rows) == 5 and len(by_id) == 5
+    # state survived the restart: r4's duplicate verdict points at the
+    # canonical chosen before the stop
+    assert by_id["r4"]["is_duplicate"] is True
+    assert by_id["r4"]["canonical_id"] == "r1"
+    assert by_id["r1"]["is_duplicate"] is False
+    assert by_id["r5"]["is_duplicate"] is False
+
+
+def test_dedup_stream_state_ttl_evicts(spark, tmp_path_factory):
+    """state_ttl_ms: an idle fingerprint is evicted, so a duplicate
+    arriving after eviction is re-admitted as a new canonical (the
+    documented bounded-state tradeoff).
+
+    NB: with ProcessingTimeTimeout the engine keeps scheduling no-data
+    micro-batches to fire timeouts, so processAllAvailable() never
+    settles — the test polls the sink instead."""
+    import time
+
+    from amp import streaming
+
+    land = str(tmp_path_factory.mktemp("ttl_land"))
+    schema = "record_id string, content_sha string, lang string, n_chars int"
+    spark.createDataFrame([("r1", "A", "py", 10)], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(land)
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(land)
+    )
+    q = (
+        streaming.dedup_stream(stream, state_ttl_ms=500)
+        .writeStream.format("memory")
+        .queryName("ttl_out")
+        .outputMode("append")
+        .start()
+    )
+
+    def wait_rows(n, deadline=60):
+        t0 = time.time()
+        rows = []
+        while time.time() - t0 < deadline:
+            rows = spark.table("ttl_out").collect()
+            if len(rows) >= n:
+                return rows
+            time.sleep(0.5)
+        raise TimeoutError(f"sink has {len(rows)} rows, wanted {n}")
+
+    try:
+        wait_rows(1)
+        time.sleep(1.2)  # let the 500ms TTL lapse in processing time
+        # the same fingerprint arrives again — its state was evicted by
+        # an intervening timeout batch, so it must be re-admitted as its
+        # own canonical
+        spark.createDataFrame([("r9", "A", "py", 10)], schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(land)
+        rows = {r["record_id"]: r for r in wait_rows(2)}
+    finally:
+        q.stop()
+
+    assert rows["r1"]["is_duplicate"] is False
+    assert rows["r9"]["is_duplicate"] is False, "fingerprint A was not evicted"
+    assert rows["r9"]["canonical_id"] == "r9"
+
+
+def test_match_stream_restart_exactly_once(spark, small_corpus, index, tmp_path_factory):
+    """match_stream across a stop/restart cycle from one checkpoint:
+    no query record is matched twice (no epoch replay of committed
+    batches) and none is lost (files landing while the query was down
+    are picked up on restart)."""
+    from amp import streaming
+
+    files, _ = small_corpus
+    land = str(tmp_path_factory.mktemp("ms_land"))
+    ckp = str(tmp_path_factory.mktemp("ms_ck"))
+
+    got: list = []
+
+    def on_batch(matches_df, epoch_id):
+        got.extend((epoch_id, r) for r in matches_df.collect())
+
+    def start():
+        return streaming.match_stream(
+            streaming.read_file_stream(spark, land), index, on_batch,
+            checkpoint_path=ckp,
+        )
+
+    files.limit(3).withColumn(
+        "repo", F.concat(F.lit("q1/"), F.col("repo"))
+    ).write.mode("append").parquet(land)
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    n_first = len({r["query_id"] for _, r in got})
+    assert n_first == 3
+
+    # down period: two more query records land
+    files.limit(5).subtract(files.limit(3)).withColumn(
+        "repo", F.concat(F.lit("q2/"), F.col("repo"))
+    ).write.mode("append").parquet(land)
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    seen_epochs_per_query: dict = {}
+    for epoch, r in got:
+        seen_epochs_per_query.setdefault(r["query_id"], set()).add(epoch)
+    # none lost: all 5 distinct query records matched
+    assert len(seen_epochs_per_query) == 5
+    # none duplicated: each query matched in exactly one epoch
+    assert all(len(v) == 1 for v in seen_epochs_per_query.values())
