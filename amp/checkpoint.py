@@ -52,15 +52,103 @@ class CheckpointManager:
         out = []
         d = os.path.join(self.root, "_manifest")
         for f in sorted(os.listdir(d)):
+            if not f.endswith(".json"):
+                continue  # .snapshots.jsonl logs live alongside
             with open(os.path.join(d, f)) as fh:
                 out.append(json.load(fh))
         return out
 
     # -- snapshots ----------------------------------------------------------
-    def _run_partition_dir(self, stage: str) -> str:
-        return os.path.join(self.table_path(stage), f"run_id={self.run_id}")
+    # Every write of a stage creates a NEW snapshot version, laid out as
+    # a second partition level (run_id=<r>/_v=<version>): dynamic
+    # partition overwrite replaces only the version being written, so
+    # older versions' data files survive on disk — the parquet-fallback
+    # form of Iceberg's append-only data files + snapshot list. The
+    # manifest's ``snapshot`` column is the CURRENT version pointer;
+    # ``read(stage, snapshot=...)`` time-travels, ``rollback`` moves the
+    # pointer, ``expire_snapshots`` garbage-collects old versions.
 
-    def _snapshot_of(self, stage: str) -> tuple[str, list[dict]]:
+    def _run_partition_dir(self, stage: str, version: str | None = None) -> str:
+        base = os.path.join(self.table_path(stage), f"run_id={self.run_id}")
+        return os.path.join(base, f"_v={version}") if version else base
+
+    def _snapshot_log_path(self, stage: str) -> str:
+        return os.path.join(
+            self.root, "_manifest", f"run{self.run_id}_{stage}.snapshots.jsonl"
+        )
+
+    def snapshots(self, stage: str) -> list[dict]:
+        """Snapshot log, oldest first: one row per write of this stage
+        (version id, digest, rows, bytes, wall-clock timestamp)."""
+        p = self._snapshot_log_path(stage)
+        if not os.path.exists(p):
+            return []
+        with open(p) as fh:
+            return [json.loads(line) for line in fh if line.strip()]
+
+    def current_snapshot(self, stage: str) -> str | None:
+        if not self.is_done(stage):
+            return None
+        with open(self._manifest_path(stage)) as fh:
+            return json.load(fh).get("snapshot")
+
+    def rollback(self, stage: str, snapshot: str) -> None:
+        """Move the stage's current pointer to an OLDER snapshot (its
+        data files were retained). Downstream stages checkpointed on top
+        of the newer version keep their manifests — call
+        ``invalidate(downstream_stage)`` for each to force recompute, as
+        a catalog-level rollback would."""
+        log = {s["snapshot"]: s for s in self.snapshots(stage)}
+        if snapshot not in log:
+            raise ValueError(
+                f"rollback: stage {stage} has no snapshot {snapshot!r}; "
+                f"known: {sorted(log)}"
+            )
+        with open(self._manifest_path(stage)) as fh:
+            row = json.load(fh)
+        entry = log[snapshot]
+        row.update(
+            snapshot=snapshot,
+            snapshot_digest=entry["digest"],
+            rows=entry["rows"],
+            n_files=entry["n_files"],
+            n_bytes=entry["n_bytes"],
+        )
+        with open(self._manifest_path(stage), "w") as fh:
+            json.dump(row, fh)
+
+    def invalidate(self, stage: str) -> None:
+        """Drop the stage's done-marker so the next stage() call
+        recomputes it (data files stay until expire_snapshots)."""
+        p = self._manifest_path(stage)
+        if os.path.exists(p):
+            os.remove(p)
+
+    def expire_snapshots(self, stage: str, keep_last: int = 1) -> list[str]:
+        """Iceberg expire_snapshots analog: retain the CURRENT pointer
+        plus the newest ``keep_last - 1`` other versions; delete the
+        data files of everything else and truncate the log. keep_last=1
+        after a rollback therefore GCs the abandoned newer version.
+        Returns expired version ids."""
+        import shutil
+
+        log = self.snapshots(stage)
+        current = self.current_snapshot(stage)
+        keep = {current} if current else set()
+        for s in reversed(log):  # newest first
+            if len(keep) >= keep_last:
+                break
+            keep.add(s["snapshot"])
+        expired = [s["snapshot"] for s in log if s["snapshot"] not in keep]
+        for v in expired:
+            shutil.rmtree(self._run_partition_dir(stage, v), ignore_errors=True)
+        kept_rows = [s for s in log if s["snapshot"] in keep]
+        with open(self._snapshot_log_path(stage), "w") as fh:
+            for s in kept_rows:
+                fh.write(json.dumps(s) + "\n")
+        return expired
+
+    def _snapshot_of(self, stage: str, version: str | None = None) -> tuple[str, list[dict]]:
         """Iceberg-shaped snapshot: the manifest pins the exact data-file
         set (relative path + byte size) of this run's partition; the
         snapshot id is a digest of that file list. On a real Iceberg
@@ -73,7 +161,7 @@ class CheckpointManager:
         in-place corruption that preserves byte sizes passes
         verification; content integrity belongs to the parquet readers'
         page checksums, not the manifest."""
-        base = self._run_partition_dir(stage)
+        base = self._run_partition_dir(stage, version)
         files = []
         for root, _, names in os.walk(base):
             for n in names:
@@ -96,7 +184,7 @@ class CheckpointManager:
             return False
         with open(self._manifest_path(stage)) as fh:
             recorded = json.load(fh)
-        if "snapshot" not in recorded:
+        if "snapshot_digest" not in recorded:
             # legacy manifest written before snapshots existed: distinct
             # from tampering — accept it (the done-marker contract it
             # was written under) but say so, instead of silently
@@ -108,24 +196,32 @@ class CheckpointManager:
                 "accepted as valid; rewrite the stage to upgrade", stage
             )
             return True
-        snap, _ = self._snapshot_of(stage)
-        return snap == recorded["snapshot"]
+        snap, _ = self._snapshot_of(stage, recorded.get("snapshot"))
+        return snap == recorded["snapshot_digest"]
 
     # -- write / read ------------------------------------------------------
     def table_path(self, stage: str) -> str:
         return os.path.join(self.root, stage)
 
     def write(self, df: DataFrame, stage: str, started_at: float | None = None) -> DataFrame:
-        """Checkpoint a stage: partitioned write + per-partition counters
-        + manifest row. Returns the re-read DataFrame so downstream
-        stages consume the materialized table (cuts lineage, exactly
-        like the reference's table-to-table passes)."""
+        """Checkpoint a stage: versioned partitioned write (a NEW
+        snapshot; older versions' files are retained for time-travel) +
+        per-partition counters + manifest row. Returns the re-read
+        DataFrame so downstream stages consume the materialized table
+        (cuts lineage, exactly like the reference's table-to-table
+        passes)."""
         t0 = started_at if started_at is not None else time.time()
         path = self.table_path(stage)
+        # next version id = log length + 1 — a crashed write that never
+        # appended its log row reuses the same id and overwrites only
+        # its own partial version dir (idempotent retry)
+        version = f"{len(self.snapshots(stage)) + 1:06d}"
         if "run_id" not in df.columns:
             df = df.withColumn("run_id", F.lit(self.run_id))
-        df.write.mode("overwrite").partitionBy("run_id").parquet(path)
-        back = self.spark.read.parquet(path).where(F.col("run_id") == self.run_id)
+        df.withColumn("_v", F.lit(version)).write.mode("overwrite").partitionBy(
+            "run_id", "_v"
+        ).parquet(path)
+        back = self._read_version(stage, version)
 
         # per-partition lineage counters (north_rule)
         counters = (
@@ -139,7 +235,17 @@ class CheckpointManager:
         ).write.mode("overwrite").parquet(cpath)
 
         rows = back.count()
-        snap, files = self._snapshot_of(stage)
+        snap, files = self._snapshot_of(stage, version)
+        entry = {
+            "snapshot": version,
+            "digest": snap,
+            "rows": rows,
+            "n_files": len(files),
+            "n_bytes": sum(f["bytes"] for f in files),
+            "ts": time.time(),
+        }
+        with open(self._snapshot_log_path(stage), "a") as fh:
+            fh.write(json.dumps(entry) + "\n")
         with open(self._manifest_path(stage), "w") as fh:
             json.dump(
                 {
@@ -148,14 +254,15 @@ class CheckpointManager:
                     "rows": rows,
                     "wall_sec": round(time.time() - t0, 3),
                     "path": path,
-                    # Iceberg-shaped: the snapshot id digests the pinned
-                    # data-file set (on a real catalog: the table
-                    # snapshot id); verify_snapshot() checks it on resume.
-                    # The explicit file list is for small-table
+                    # Iceberg-shaped: ``snapshot`` is the CURRENT version
+                    # pointer; ``snapshot_digest`` pins that version's
+                    # data-file set (verify_snapshot checks it on
+                    # resume). The explicit file list is for small-table
                     # inspection only — beyond 64 files the digest +
                     # totals carry the contract without bloating every
                     # manifest() load
-                    "snapshot": snap,
+                    "snapshot": version,
+                    "snapshot_digest": snap,
                     "n_files": len(files),
                     "n_bytes": sum(f["bytes"] for f in files),
                     "files": files if len(files) <= 64 else None,
@@ -164,10 +271,23 @@ class CheckpointManager:
             )
         return back
 
-    def read(self, stage: str) -> DataFrame:
-        return self.spark.read.parquet(self.table_path(stage)).where(
-            F.col("run_id") == self.run_id
+    def _read_version(self, stage: str, version: str) -> DataFrame:
+        return (
+            self.spark.read.parquet(self.table_path(stage))
+            .where((F.col("run_id") == self.run_id) & (F.col("_v") == version))
+            .drop("_v")
         )
+
+    def read(self, stage: str, snapshot: str | None = None) -> DataFrame:
+        """Read the stage at its CURRENT snapshot, or time-travel to an
+        explicit older ``snapshot`` id (both partition-pruned)."""
+        version = snapshot or self.current_snapshot(stage)
+        if version is None:
+            # legacy layout (pre-snapshot manifests): flat run partition
+            return self.spark.read.parquet(self.table_path(stage)).where(
+                F.col("run_id") == self.run_id
+            )
+        return self._read_version(stage, version)
 
     def stage(self, name: str, thunk) -> DataFrame:
         """Run-or-resume: resume only when the manifest row exists AND

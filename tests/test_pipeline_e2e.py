@@ -149,7 +149,7 @@ def test_snapshot_pins_file_set_and_gates_resume(spark, tmp_path_factory):
     assert calls["n"] == 1
 
     # tamper: delete one data file -> verify fails -> stage recomputes
-    part = glob.glob(os.path.join(root, "nums", "run_id=0", "*.parquet"))[0]
+    part = glob.glob(os.path.join(root, "nums", "run_id=0", "_v=*", "*.parquet"))[0]
     os.remove(part)
     assert not ck.verify_snapshot("nums")
     out = ck.stage("nums", thunk)
@@ -174,3 +174,87 @@ def test_spark_submit_pyfiles_launcher():
     assert out.returncode == 0 and lines, out.stderr[-2000:]
     res = json.loads(lines[-1])
     assert res["records"] == 169 and res["clusters"] == 126
+
+
+def test_snapshot_time_travel_and_rollback(spark, tmp_path_factory):
+    """Per-write snapshot ids with read-at-snapshot: a second write of a
+    stage creates a NEW version while the old version's files survive;
+    read() serves the current pointer, read(snapshot=...) time-travels,
+    rollback() moves the pointer back, expire_snapshots() GCs."""
+    from amp.checkpoint import CheckpointManager
+
+    root = str(tmp_path_factory.mktemp("tt_ck"))
+    ck = CheckpointManager(spark, root, run_id=0)
+
+    ck.write(spark.range(10).selectExpr("id", "id * 2 AS v"), "nums")
+    v1 = ck.current_snapshot("nums")
+    ck.write(spark.range(5).selectExpr("id", "id * 3 AS v"), "nums")
+    v2 = ck.current_snapshot("nums")
+    assert v1 != v2
+    log = ck.snapshots("nums")
+    assert [s["snapshot"] for s in log] == [v1, v2]
+    assert log[0]["rows"] == 10 and log[1]["rows"] == 5
+
+    # current read = v2; time-travel read = v1 (files retained)
+    assert ck.read("nums").count() == 5
+    old = ck.read("nums", snapshot=v1)
+    assert old.count() == 10
+    assert sorted(r["v"] for r in old.collect()) == [2 * i for i in range(10)]
+    assert ck.verify_snapshot("nums")
+
+    # rollback: pointer moves, verification tracks the old digest,
+    # resume (stage) serves the OLD version without recompute
+    ck.rollback("nums", v1)
+    assert ck.current_snapshot("nums") == v1
+    assert ck.verify_snapshot("nums")
+    served = ck.stage("nums", lambda: (_ for _ in ()).throw(AssertionError("recompute")))
+    assert served.count() == 10
+
+    # expire: v2's files go away, v1 (current) survives
+    expired = ck.expire_snapshots("nums", keep_last=1)
+    assert expired == [v2]
+    assert ck.read("nums").count() == 10
+    assert [s["snapshot"] for s in ck.snapshots("nums")] == [v1]
+
+    with pytest.raises(ValueError, match="no snapshot"):
+        ck.rollback("nums", "999999")
+
+
+def test_resume_from_older_snapshot_byte_identical_clusters(spark, tmp_path_factory):
+    """SURVEY §1.2 closing test: checkpoint a full pipeline run, then
+    overwrite an upstream stage (new snapshot), roll it back to the
+    original snapshot, invalidate downstream stages, and resume — the
+    final clusters are byte-identical to the first run."""
+    import hashlib as _hashlib
+
+    from amp.checkpoint import CheckpointManager
+    from amp.datagen import gen_files
+    from amp.pipeline import run_pipeline
+
+    root = str(tmp_path_factory.mktemp("tt_pipe"))
+    files = gen_files(spark, 120, partitions=8)
+
+    def cluster_sha(out):
+        rows = sorted(
+            (r["record_id"], r["cluster_id"]) for r in out["clusters"].collect()
+        )
+        return _hashlib.sha256(str(rows).encode()).hexdigest()
+
+    out1 = run_pipeline(spark, files, checkpoint_root=root)
+    sha1 = cluster_sha(out1)
+
+    ck = CheckpointManager(spark, root, run_id=0)
+    v1 = ck.current_snapshot("records")
+    # a divergent rewrite of the records stage (half the corpus) — the
+    # newer snapshot that we will time-travel AWAY from
+    ck.write(ck.read("records").limit(60), "records")
+    assert ck.current_snapshot("records") != v1
+
+    ck.rollback("records", v1)
+    downstream = [
+        "reps", "exact_edges", "sides", "pairs", "scored", "edges", "clusters",
+    ]
+    for st in downstream:
+        ck.invalidate(st)
+    out2 = run_pipeline(spark, files, checkpoint_root=root)
+    assert cluster_sha(out2) == sha1
