@@ -93,19 +93,71 @@ def jaro_winkler_udf(s1: pd.Series, s2: pd.Series) -> pd.Series:
 # one-pass per-record feature kernel
 # ---------------------------------------------------------------------------
 
-# Transport-compact dtypes: the feature table is shipped through the
-# pair join TWICE (left/right side), so its row width is the #1 shuffle
-# item in the stage budget (measured ~1.6 GB read at 280k records with
-# int64/float64 arrays). int32 minhash folds / token hashes and float32
-# weights halve that; the extra hash-collision mass (2^-31-scale per
-# position) is far below the Jaccard-estimate and score-threshold
-# resolution, and token-hash collisions are merged (weights summed)
-# exactly like native crc32 collisions.
+# Transport-compact encoding: the feature table is shipped through the
+# pair join TWICE (left/right side) and each left record's payload is
+# REPEATED once per pair in the join-1 intermediate, so row width is
+# the #1 shuffle item in the stage budget (measured ~1.6 GB read at
+# 280k records with int64/float64 arrays; shrinking raw rows helps the
+# high-parallelism level disproportionately, because finer reduce
+# partitioning shreds the repeated payloads across more shuffle blocks
+# where compression can no longer deduplicate them). Encoding:
+#   sig        int32 folds — positional agreement preserved exactly.
+#              NB int16 was tried and REVERTED: band keys are built
+#              from these folds, and candidate pairs that truly agree
+#              on 3 of a band's 4 rows get a 2^-15 false fourth —
+#              measured +2,027 spurious candidates on a 14.6k-record
+#              corpus (+52% pairs at 280k) vs +0 for int32. The 64B/row
+#              saving is not worth 1.5x the scorer work.
+#   embedding  int8-quantized unit vector (x127); cosine error <~1e-2
+#              on a 0.15-weight feature. attach_embeddings may replace
+#              it with float provided vectors — the scorer computes
+#              norms in-batch so both dtypes score correctly
+#   tfblob     packed bytes: n(u4) | token hashes i4*n (sorted,unique) |
+#              weights as int16 fixed-point i2*n | scale f4 | norm f4 —
+#              one binary column instead of three array columns (no
+#              per-array UnsafeRow headers); relative weight error
+#              ~3e-5 of the row max
 SIDE_SCHEMA = (
     "record_id string, stem string, lang string, sig array<int>, "
-    "embedding array<float>, tok_hashes array<int>, tok_weights array<float>, "
-    "tok_norm double"
+    "embedding array<tinyint>, tfblob binary"
 )
+
+
+def pack_tfblob(hashes: "np.ndarray", weights: "np.ndarray") -> bytes:
+    """(sorted unique int32 hashes, float weights) -> packed bytes.
+    See SIDE_SCHEMA. Empty vectors pack to n=0 with norm 0."""
+    import numpy as np
+
+    n = len(hashes)
+    if n == 0:
+        return (
+            np.uint32(0).tobytes()
+            + np.float32(1.0).tobytes()
+            + np.float32(0.0).tobytes()
+        )
+    wmax = float(weights.max())
+    scale = (wmax / 32767.0) if wmax > 0 else 1.0
+    q = np.round(weights / scale).astype(np.int16)
+    # norm in the QUANTIZED domain so self-cosine is exactly 1.0
+    norm = float(scale * np.sqrt(float((q.astype(np.float64) ** 2).sum())))
+    return (
+        np.uint32(n).tobytes()
+        + hashes.astype(np.int32).tobytes()
+        + q.tobytes()
+        + np.float32(scale).tobytes()
+        + np.float32(norm).tobytes()
+    )
+
+
+def unpack_tfblob(blob: bytes):
+    """-> (hashes int32[n], q int16[n], scale, norm) — zero-copy views."""
+    import numpy as np
+
+    n = int(np.frombuffer(blob, dtype=np.uint32, count=1)[0])
+    h = np.frombuffer(blob, dtype=np.int32, count=n, offset=4)
+    q = np.frombuffer(blob, dtype=np.int16, count=n, offset=4 + 4 * n)
+    scale, norm = np.frombuffer(blob, dtype=np.float32, count=2, offset=4 + 6 * n)
+    return h, q, float(scale), float(norm)
 
 
 def side_features_onepass(
@@ -139,7 +191,7 @@ def side_features_onepass(
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         idf_local = idf_b.value
         for pdf in batches:
-            out = {c: [] for c in ("sig", "embedding", "tok_hashes", "tok_weights", "tok_norm")}
+            out = {c: [] for c in ("sig", "embedding", "tfblob")}
             for text in pdf["norm_text"]:
                 toks = text.split() if text else []
                 # --- minhash over k-token shingles ---
@@ -151,6 +203,7 @@ def side_features_onepass(
                 sig64 = ((a_arr * h[None, :] + b_arr) % _MERSENNE_P).min(axis=1)
                 # fold to int32 for transport: positional agreement is
                 # preserved exactly; disagreement collides at 2^-31
+                # (int16 rejected — see SIDE_SCHEMA note)
                 out["sig"].append((sig64 & 0x7FFFFFFF).astype(np.int32))
                 # --- hashing-trick embedding + tf-idf vector ---
                 emb = np.zeros(dim, dtype=np.float32)
@@ -178,10 +231,10 @@ def side_features_onepass(
                 if len(uh) < len(h_s):
                     w_s = np.add.reduceat(w_s, first)
                     h_s = uh
-                out["embedding"].append(emb)
-                out["tok_hashes"].append(h_s)
-                out["tok_weights"].append(w_s.astype(np.float32))
-                out["tok_norm"].append(float(np.sqrt((w_s ** 2).sum())))
+                out["embedding"].append(
+                    np.clip(np.round(emb * 127.0), -127, 127).astype(np.int8)
+                )
+                out["tfblob"].append(pack_tfblob(h_s, w_s))
             yield pd.DataFrame(
                 {
                     "record_id": pdf["record_id"],
@@ -311,24 +364,45 @@ def score_pairs_onepass(
             n = len(pdf)
             dots = np.zeros(n); coss = np.zeros(n); jac = np.zeros(n)
             embc = np.zeros(n); jws = np.zeros(n); levs = np.zeros(n)
+            if n:
+                # fully-vectorized fixed-width features: signatures and
+                # embeddings stack to (n, k) matrices. Norms computed
+                # in-batch so int8 hashed vectors and float provided
+                # vectors (attach_embeddings) both score correctly.
+                ls_m = np.stack(pdf["l_sig"].values)
+                rs_m = np.stack(pdf["r_sig"].values)
+                jac = (ls_m == rs_m).mean(axis=1)
+                le_m = np.stack(pdf["l_emb"].values).astype(np.float64)
+                re_m = np.stack(pdf["r_emb"].values).astype(np.float64)
+                den = np.linalg.norm(le_m, axis=1) * np.linalg.norm(re_m, axis=1)
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    embc = np.where(
+                        den > 0, (le_m * re_m).sum(axis=1) / den, 0.0
+                    )
             for i in range(n):
-                lh, rh = pdf["l_th"].iat[i], pdf["r_th"].iat[i]
-                lw, rw = pdf["l_tw"].iat[i], pdf["r_tw"].iat[i]
-                # arrays arrive sorted+unique from side_features_onepass:
+                lh, lq, lsc, ln_ = unpack_tfblob(pdf["l_tfblob"].iat[i])
+                rh, rq, rsc, rn_ = unpack_tfblob(pdf["r_tfblob"].iat[i])
+                # hash arrays arrive sorted+unique from pack_tfblob:
                 # searchsorted intersection, no per-pair re-sort
                 # (np.intersect1d sorts the concatenation every call)
                 if len(lh) and len(rh):
                     pos = np.searchsorted(lh, rh)
                     pos_c = np.minimum(pos, len(lh) - 1)
                     mask = lh[pos_c] == rh
-                    d = float(np.dot(lw[pos_c[mask]], rw[mask])) if mask.any() else 0.0
+                    if mask.any():
+                        d = float(
+                            np.dot(
+                                lq[pos_c[mask]].astype(np.float64),
+                                rq[mask].astype(np.float64),
+                            )
+                        ) * lsc * rsc
+                    else:
+                        d = 0.0
                 else:
                     d = 0.0
                 dots[i] = d
-                denom = pdf["l_tn"].iat[i] * pdf["r_tn"].iat[i]
+                denom = ln_ * rn_
                 coss[i] = d / denom if denom > 0 else 0.0
-                jac[i] = float(np.mean(pdf["l_sig"].iat[i] == pdf["r_sig"].iat[i]))
-                embc[i] = float(np.dot(pdf["l_emb"].iat[i], pdf["r_emb"].iat[i]))
                 ls, rs = pdf["l_stem"].iat[i] or "", pdf["r_stem"].iat[i] or ""
                 jws[i] = jaro_winkler(ls, rs)
                 m = max(len(ls), len(rs), 1)
@@ -363,15 +437,13 @@ def score_pairs_onepass(
         F.col("record_id").alias("left_id"),
         F.col("stem").alias("l_stem"), F.col("lang").alias("l_lang"),
         F.col("sig").alias("l_sig"), F.col("embedding").alias("l_emb"),
-        F.col("tok_hashes").alias("l_th"), F.col("tok_weights").alias("l_tw"),
-        F.col("tok_norm").alias("l_tn"),
+        F.col("tfblob").alias("l_tfblob"),
     )
     rhs = sides.select(
         F.col("record_id").alias("right_id"),
         F.col("stem").alias("r_stem"), F.col("lang").alias("r_lang"),
         F.col("sig").alias("r_sig"), F.col("embedding").alias("r_emb"),
-        F.col("tok_hashes").alias("r_th"), F.col("tok_weights").alias("r_tw"),
-        F.col("tok_norm").alias("r_tn"),
+        F.col("tfblob").alias("r_tfblob"),
     )
     joined = pairs.join(lhs, "left_id").join(rhs, "right_id")
     return joined.mapInPandas(fn, SCORED_SCHEMA)

@@ -241,6 +241,11 @@ def run_scaling(
             # 0.698 efficiency) despite helping the string
             # microbenchmark — the hook stays, the default does not.
             env.setdefault("AMP_DRIVER_MEM", "16g")
+            # tmpfs shuffle scratch (single-machine analog of NVMe-local
+            # shuffle dirs): takes the shared system disk out of the
+            # shuffle path — measured efficiency lever, see BENCH notes
+            if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
+                env.setdefault("AMP_LOCAL_DIR", "/dev/shm/amp_spark_local")
             out = subprocess.run(
                 cmd, capture_output=True, text=True,
                 cwd=os.path.dirname(os.path.abspath(__file__)),
