@@ -215,18 +215,25 @@ def bench_once(
 
 
 def run_scaling(
-    sf_dir: str, lo: int, hi: int, write_md: bool, n_base: int = 200_000, repeats: int = 3
+    sf_dir: str, lo: int, hi: int, write_md: bool, n_base: int = 200_000,
+    repeats: int = 3, cooldown_sec: int = 45,
 ) -> dict:
     """Same job + same parquet input at two parallelism levels, each in
     a fresh subprocess (a JVM cannot change master in-process).
     Interleaved repeats + median wall, because the sandbox host shows
-    ±20% run-to-run variance."""
+    ±20% run-to-run variance. ``cooldown_sec`` idles between runs:
+    without it the interleave is systematically biased AGAINST the
+    high-parallelism level — each hi run starts right after a ~3x
+    longer lo run has heated the host (measured: a hi run following
+    the slowest lo run degraded 57.6 -> 78.9s)."""
     import statistics
 
     walls: dict[int, list[float]] = {lo: [], hi: []}
     last: dict[int, dict] = {}
     for _ in range(repeats):
         for cpus in (lo, hi):
+            if cooldown_sec and (walls[lo] or walls[hi]):
+                time.sleep(cooldown_sec)
             cmd = [
                 sys.executable, os.path.abspath(__file__),
                 "--sf-dir", sf_dir, "--cpus", str(cpus),
@@ -347,6 +354,8 @@ def main() -> None:
     ap.add_argument("--scale-hi", type=int, default=8)
     ap.add_argument("--scale-base", type=int, default=200_000)
     ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--cooldown", type=int, default=45,
+                    help="idle seconds between scaling runs (thermal fairness)")
     ap.add_argument("--write-md", action="store_true")
     ap.add_argument("--stage-metrics", action="store_true",
                     help="enable the Spark UI and emit per-stage shuffle bytes")
@@ -358,6 +367,7 @@ def main() -> None:
                 run_scaling(
                     args.sf_dir, args.scale_lo, args.scale_hi, args.write_md,
                     n_base=args.scale_base, repeats=args.repeats,
+                    cooldown_sec=args.cooldown,
                 )
             )
         )
