@@ -443,6 +443,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _docs(spark, sf_dir), bits=16, max_hamming=3
     )
 
+    # ---- curation: deterministic sampling + composed keep/drop verdict ----
+    from amp import curate as amp_curate
+
+    def q_sample_fraction(spark, sf_dir):
+        return amp_curate.sample_fraction(_docs(spark, sf_dir), 0.25).select(
+            "doc_id", "lang", "source"
+        )
+
+    q["sample_fraction"] = q_sample_fraction
+
+    def q_sample_stratified(spark, sf_dir):
+        return amp_curate.stratified_topn(
+            _docs(spark, sf_dir), ["lang", "source"], 5
+        ).select("doc_id", "lang", "source", "sample_rank")
+
+    q["sample_stratified_topn"] = q_sample_stratified
+
+    def q_curate(spark, sf_dir):
+        return amp_curate.curate(
+            _docs(spark, sf_dir),
+            min_quality=0.3,
+            keep_langs=("en",),
+            jaccard_threshold=0.8,
+            bands=4,
+        )
+
+    q["curate_corpus"] = q_curate
+
     # ---- J6 + CC: transitive clustering with a bit-exact SQL oracle ----
     # The REAL clustering operator (amp.cluster.connected_components —
     # driver union-find / large-small-star, the same code the flagship
@@ -457,7 +485,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         dot = features.doc_pair_dot(d, _src_pairs(spark, sf_dir))
         edges = dot.where(F.col("tfidf_dot") >= 0.002).select("left_id", "right_id")
         assign = connected_components(
-            edges, all_nodes=d.select(F.col("doc_id").alias("record_id"))
+            edges,
+            all_nodes=d.select(F.col("doc_id").alias("record_id")),
+            nodes_unique=True,  # doc_id is the documents primary key
         )
         return assign.select(F.col("record_id").alias("doc_id"), "cluster_id")
 
@@ -925,6 +955,106 @@ SELECT query_id, corpus_id, cosine, rnk FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id ASC) AS rnk
   FROM scored
 ) WHERE rnk <= 5
+"""
+
+    # curation: md5-prefix threshold sampling (lexicographic hex compare
+    # == numeric compare at fixed width) and the composed verdict —
+    # quality x lang x LSH-verified near-dup — all from the same CTEs
+    # the individual operators are checked with
+    o["sample_fraction"] = """
+SELECT doc_id, lang, source FROM documents
+WHERE substr(md5('s42:' || CAST(doc_id AS VARCHAR)), 1, 8) < '40000000'
+"""
+
+    o["sample_stratified_topn"] = """
+SELECT doc_id, lang, source, sample_rank FROM (
+  SELECT doc_id, lang, source,
+         row_number() OVER (
+           PARTITION BY lang, source
+           ORDER BY substr(md5('s42:' || CAST(doc_id AS VARCHAR)), 1, 8), doc_id
+         ) AS sample_rank
+  FROM documents
+) WHERE sample_rank <= 5
+"""
+
+    o["curate_corpus"] = f"""
+WITH tl AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+  FROM documents
+),
+qbase AS (
+  SELECT doc_id,
+         length(text)::DOUBLE AS n_chars,
+         len(toks)::DOUBLE AS n_tokens,
+         len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]'))::DOUBLE AS n_punct,
+         len(regexp_extract_all(text, '[0-9]'))::DOUBLE AS n_digit,
+         ({stop_hits_sql})::DOUBLE AS stop_hits
+  FROM tl
+),
+qual AS (
+  SELECT doc_id,
+         round(
+           least(n_tokens / 64.0, 1.0) * 0.35
+           + (1.0 - least(n_punct / greatest(n_chars, 1.0) * 4.0, 1.0)) * 0.25
+           + least(stop_hits / greatest(n_tokens, 1.0) * 5.0, 1.0) * 0.2
+           + (1.0 - least(n_digit / greatest(n_chars, 1.0) * 4.0, 1.0)) * 0.1
+           + CASE WHEN n_chars / greatest(n_tokens, 1.0) BETWEEN 3.0 AND 10.0 THEN 0.1 ELSE 0.0 END
+           + 1e-9,
+         6) AS quality
+  FROM qbase
+),
+lh AS (SELECT doc_id, {lang_hit_cols} FROM tl),
+lid AS (
+  SELECT doc_id,
+         CASE WHEN {best} <= 0 THEN 'und' {pred_cases} ELSE 'und' END AS pred_lang
+  FROM lh
+),
+shl AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) = 0 THEN []::VARCHAR[]
+              WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+              ELSE list_transform(range(len(toks) - 2),
+                                  i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])
+         END AS shingles
+  FROM tl
+),
+dsh AS (SELECT DISTINCT doc_id, s.shingle FROM shl, UNNEST(shingles) AS s(shingle)),
+mh AS (SELECT doc_id, {band_mins} FROM dsh GROUP BY doc_id),
+keys AS ({band_union}),
+cand AS (
+  SELECT DISTINCT l.doc_id AS left_id, r.doc_id AS right_id
+  FROM keys l JOIN keys r ON l.band = r.band AND l.band_key = r.band_key
+  WHERE l.doc_id < r.doc_id
+),
+dtoks2 AS (SELECT DISTINCT doc_id, t.token FROM tl, UNNEST(toks) AS t(token)),
+sizes AS (SELECT doc_id, count(*) AS n_tok FROM dtoks2 GROUP BY doc_id),
+inter AS (
+  SELECT p.left_id, p.right_id, count(*) AS n_inter
+  FROM cand p
+  JOIN dtoks2 lt ON lt.doc_id = p.left_id
+  JOIN dtoks2 rt ON rt.doc_id = p.right_id AND rt.token = lt.token
+  GROUP BY p.left_id, p.right_id
+),
+verified AS (
+  SELECT p.left_id, p.right_id
+  FROM cand p
+  LEFT JOIN inter i ON i.left_id = p.left_id AND i.right_id = p.right_id
+  LEFT JOIN sizes ls ON ls.doc_id = p.left_id
+  LEFT JOIN sizes rs ON rs.doc_id = p.right_id
+  WHERE round(CASE WHEN coalesce(ls.n_tok, 0) + coalesce(rs.n_tok, 0) - coalesce(i.n_inter, 0) > 0
+                   THEN coalesce(i.n_inter, 0)
+                        / (coalesce(ls.n_tok, 0) + coalesce(rs.n_tok, 0) - coalesce(i.n_inter, 0))
+                   ELSE 0.0 END, 6) >= 0.8
+),
+drops AS (SELECT DISTINCT right_id AS doc_id FROM verified)
+SELECT d.doc_id, q.quality, l.pred_lang,
+       (dr.doc_id IS NOT NULL) AS is_near_dup,
+       (q.quality >= 0.3 AND l.pred_lang IN ('en') AND dr.doc_id IS NULL) AS keep
+FROM documents d
+JOIN qual q ON q.doc_id = d.doc_id
+JOIN lid l ON l.doc_id = d.doc_id
+LEFT JOIN drops dr ON dr.doc_id = d.doc_id
 """
 
     # er_pipeline_clusters: transitive closure over the threshold-edge

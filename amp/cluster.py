@@ -107,11 +107,16 @@ def connected_components(
     edges: DataFrame,
     all_nodes: DataFrame | None = None,
     cfg: AmpConfig = DEFAULT_CONFIG,
+    nodes_unique: bool = False,
 ) -> DataFrame:
     """edges(left_id, right_id) -> (record_id, cluster_id).
 
     cluster_id = min record_id of the component. ``all_nodes`` (one
     column ``record_id``) adds singleton clusters for unmatched records.
+    ``nodes_unique=True`` skips the defensive distinct() on all_nodes —
+    callers that already guarantee id uniqueness (the pipeline's records
+    table, post-probe) must pass it: at 10^12 rows that distinct is a
+    full shuffle of every record id for nothing.
 
     Size-adaptive: at or below ``cfg.cc_driver_cutoff`` edges the
     transitive closure runs as driver-side union-find (a request-scoped
@@ -128,10 +133,11 @@ def connected_components(
     if cfg.cc_driver_cutoff > 0 and e0.count() <= cfg.cc_driver_cutoff:
         assign = _driver_union_find(e0)
         if all_nodes is not None:
+            nodes = all_nodes.select("record_id")
+            if not nodes_unique:
+                nodes = nodes.distinct()
             assign = (
-                all_nodes.select("record_id")
-                .distinct()
-                .join(assign, "record_id", "left")
+                nodes.join(assign, "record_id", "left")
                 .withColumn(
                     "cluster_id", F.coalesce("cluster_id", F.col("record_id"))
                 )
@@ -169,10 +175,11 @@ def connected_components(
         F.min("cluster_id").alias("cluster_id")
     )
     if all_nodes is not None:
+        nodes = all_nodes.select("record_id")
+        if not nodes_unique:
+            nodes = nodes.distinct()
         assign = (
-            all_nodes.select("record_id")
-            .distinct()
-            .join(assign, "record_id", "left")
+            nodes.join(assign, "record_id", "left")
             .withColumn("cluster_id", F.coalesce("cluster_id", F.col("record_id")))
         )
     return assign

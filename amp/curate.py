@@ -1,0 +1,114 @@
+"""Corpus-curation operators — the selection layer of a training-data
+pipeline: deterministic sampling (reproducible, engine-portable) and a
+composed keep/drop verdict (quality x language x near-dup).
+
+Everything here is hash-deterministic and SQL-expressible so the DuckDB
+oracle checks it bit-for-bit: sampling uses md5-prefix thresholds
+(lexicographic comparison of fixed-width lowercase hex equals numeric
+comparison in every ASCII collation), never ``rand()``/``sample()``
+(nondeterministic across engines, partitionings and retries — useless
+for resumable pipelines).
+
+At 100 TB: ``sample_fraction`` is a pure scan-side filter (no shuffle,
+prunes to the key column); ``stratified_topn`` shuffles once on the
+strata key; ``curate`` composes three single-scan operators and the
+banded-LSH dedup path with doc_id equi-joins — no all-pairs work
+anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from . import dedup, text
+
+
+def _hash8(key_col: str, salt: int):
+    """First 8 hex chars of md5('s<salt>:<key>') — a uniform 32-bit
+    draw per key, identical in Spark and DuckDB."""
+    return F.substring(
+        F.md5(F.concat_ws(":", F.lit(f"s{salt}"), F.col(key_col).cast("string"))),
+        1,
+        8,
+    )
+
+
+def fraction_threshold_hex(fraction: float) -> str:
+    """The 8-hex-char threshold string for a sampling fraction."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction {fraction} outside [0, 1]")
+    return format(min(int(fraction * 16**8), 16**8 - 1), "08x")
+
+
+def sample_fraction(
+    docs: DataFrame, fraction: float, key_col: str = "doc_id", salt: int = 42
+) -> DataFrame:
+    """Deterministic Bernoulli(fraction) row sample keyed on
+    ``key_col``: a row is kept iff md5-prefix(salt:key) < threshold.
+    Stable under repartitioning, retries, resume, and across engines;
+    different salts give independent samples (train/held-out splits)."""
+    return docs.where(_hash8(key_col, salt) < F.lit(fraction_threshold_hex(fraction)))
+
+
+def stratified_topn(
+    docs: DataFrame,
+    strata: list[str],
+    n: int,
+    key_col: str = "doc_id",
+    salt: int = 42,
+) -> DataFrame:
+    """Exactly min(n, |stratum|) rows per stratum, chosen by hash order
+    (ties broken by key) — the deterministic form of per-stratum
+    reservoir sampling. Adds ``sample_rank`` (1-based within the
+    stratum). One shuffle on the strata columns."""
+    w = Window.partitionBy(*strata).orderBy(_hash8(key_col, salt), F.col(key_col))
+    return (
+        docs.withColumn("sample_rank", F.row_number().over(w))
+        .where(F.col("sample_rank") <= n)
+    )
+
+
+def curate(
+    docs: DataFrame,
+    min_quality: float = 0.3,
+    keep_langs: tuple[str, ...] = ("en",),
+    jaccard_threshold: float = 0.8,
+    bands: int = 4,
+) -> DataFrame:
+    """Per-document curation verdict:
+      quality      text.quality_score's [0,1] heuristic
+      pred_lang    text.lang_id's marker argmax
+      is_near_dup  the document is the HIGHER-id member of a verified
+                   near-dup pair (MinHash-LSH candidates -> exact
+                   token-Jaccard >= threshold); the lower id stays as
+                   canonical. Non-transitive by design: in a chain
+                   a-b-c both b and c drop, a survives.
+      keep         quality >= min_quality AND pred_lang in keep_langs
+                   AND NOT is_near_dup
+    Returns one row per input document (never silently drops — the
+    caller filters on ``keep``)."""
+    q = text.quality_score(docs).select("doc_id", "quality")
+    l = text.lang_id(docs).select("doc_id", "pred_lang")
+    cand = dedup.minhash_lsh_pairs(docs, bands=bands)
+    jac = dedup.ngram_jaccard(docs, cand)
+    drops = (
+        jac.where(F.col("jaccard") >= jaccard_threshold)
+        .select(F.col("right_id").alias("doc_id"))
+        .distinct()
+        .withColumn("_dup", F.lit(True))
+    )
+    return (
+        docs.select("doc_id")
+        .join(q, "doc_id")
+        .join(l, "doc_id")
+        .join(drops, "doc_id", "left")
+        .withColumn("is_near_dup", F.coalesce(F.col("_dup"), F.lit(False)))
+        .withColumn(
+            "keep",
+            (F.col("quality") >= min_quality)
+            & F.col("pred_lang").isin(*keep_langs)
+            & ~F.col("is_near_dup"),
+        )
+        .drop("_dup")
+    )

@@ -151,7 +151,13 @@ def run_pipeline(
     clusters = stage(
         "clusters",
         lambda: cluster.connected_components(
-            edges, all_nodes=records.select("record_id"), cfg=cfg
+            edges,
+            all_nodes=records.select("record_id"),
+            cfg=cfg,
+            # the uniqueness probe above guarantees one row per
+            # record_id, so the singleton join skips its defensive
+            # distinct (a full id shuffle at corpus scale)
+            nodes_unique=True,
         ),
     )
     out.update(

@@ -1,0 +1,67 @@
+"""Corpus-curation operators: deterministic sampling + composed verdict."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from amp import curate
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = []
+    for i in range(200):
+        lang = ["en", "de"][i % 2]
+        src = ["web", "repo"][(i // 2) % 2]
+        text = ("the and of to is " * 20) if lang == "en" else ("der und die ist nicht " * 20)
+        rows.append((i, text + f" unique{i}", lang, src, len(text)))
+    # a near-dup pair: 200 is a copy of 0 with one token changed
+    base = ("the and of to is " * 20) + " unique0"
+    rows.append((200, base.replace("unique0", "unique0 extra"), "en", "web", len(base)))
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+
+
+def test_sample_fraction_deterministic_and_proportional(spark, docs):
+    a = {r["doc_id"] for r in curate.sample_fraction(docs, 0.3).select("doc_id").collect()}
+    b = {r["doc_id"] for r in curate.sample_fraction(docs, 0.3).select("doc_id").collect()}
+    assert a == b
+    assert 0.15 * 201 < len(a) < 0.45 * 201  # loose band, exact set is pinned anyway
+    # monotone: a smaller fraction is a subset of a larger one (same salt)
+    small = {r["doc_id"] for r in curate.sample_fraction(docs, 0.1).select("doc_id").collect()}
+    assert small <= a
+    # different salts are different draws
+    c = {r["doc_id"] for r in curate.sample_fraction(docs, 0.3, salt=7).select("doc_id").collect()}
+    assert c != a
+
+
+def test_sample_fraction_bounds():
+    with pytest.raises(ValueError):
+        curate.fraction_threshold_hex(1.5)
+    assert curate.fraction_threshold_hex(0.25) == "40000000"
+    assert curate.fraction_threshold_hex(0.0) == "00000000"
+
+
+def test_stratified_topn_exact_per_stratum(spark, docs):
+    out = curate.stratified_topn(docs, ["lang", "source"], 7)
+    per = {(r["lang"], r["source"]): r["n"] for r in out.groupBy("lang", "source").agg(F.count("*").alias("n")).collect()}
+    assert all(n == 7 for n in per.values()) and len(per) == 4
+    ranks = [r["sample_rank"] for r in out.collect()]
+    assert max(ranks) == 7 and min(ranks) == 1
+    # deterministic across runs
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(r["doc_id"] for r in curate.stratified_topn(docs, ["lang", "source"], 7).collect())
+    assert a == b
+
+
+def test_curate_verdicts(spark, docs):
+    out = {r["doc_id"]: r for r in curate.curate(docs, min_quality=0.2, keep_langs=("en",)).collect()}
+    assert len(out) == 201  # one verdict row per input, nothing dropped
+    # the near-dup copy (higher id) drops; its canonical keeps
+    assert out[200]["is_near_dup"] is True and out[200]["keep"] is False
+    assert out[0]["is_near_dup"] is False
+    assert out[0]["pred_lang"] == "en" and out[0]["keep"] is True
+    # german docs rejected by language regardless of quality
+    assert out[1]["pred_lang"] == "de" and out[1]["keep"] is False
