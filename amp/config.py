@@ -42,6 +42,17 @@ class AmpConfig:
     w_path_lev: float = 0.10        # normalized Levenshtein similarity on stem
     w_lang_match: float = 0.05
 
+    broadcast_sides_max_records: int = 500_000
+                                    # scorer join strategy: at or below this many
+                                    # records the quantized side-features table
+                                    # (~300 B/record -> <=150 MB) broadcasts into
+                                    # BOTH scorer joins, so the pair table and the
+                                    # wide pair+features intermediate never
+                                    # shuffle; above it, shuffled-hash joins
+                                    # (the only shape that survives 10^12 rows).
+                                    # On a cluster this is the executor-memory
+                                    # budget knob for the dimension-style side.
+
     # ---- rank / edges ----
     score_threshold: float = 0.62   # composite in [0,1]; >= threshold -> edge
     top_k: int = 10

@@ -102,7 +102,10 @@ def run_pipeline(
         # pairs table for resume/inspection
         pairs = stage("pairs", lambda: blocking.candidate_pairs(blocks, cfg, stats))
         scored = stage(
-            "scored", lambda: scoring.score_pairs_onepass(pairs, sides, cfg)
+            "scored",
+            # n_rows (already probed) gates the scorer's join strategy:
+            # small-enough side tables broadcast, big corpora shuffle
+            lambda: scoring.score_pairs_onepass(pairs, sides, cfg, n_records=n_rows),
         )
         if ck is None:
             scored = pin(scored)

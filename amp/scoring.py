@@ -347,14 +347,25 @@ SCORED_SCHEMA = (
 
 
 def score_pairs_onepass(
-    pairs: DataFrame, sides: DataFrame, cfg: AmpConfig = DEFAULT_CONFIG
+    pairs: DataFrame,
+    sides: DataFrame,
+    cfg: AmpConfig = DEFAULT_CONFIG,
+    n_records: int | None = None,
 ) -> DataFrame:
     """Candidate pairs -> scored pairs: two record-sized equi-joins to
     the one-pass feature table, then ONE Arrow-batched scorer computing
     every similarity (tf-idf dot/cosine via sorted-hash intersection,
     MinHash-agreement Jaccard, embedding cosine, Jaro-Winkler,
     Levenshtein, lang flag) and the weighted composite. The reference's
-    driver-side Go row loop (matcher.go:119-211) collapses into this."""
+    driver-side Go row loop (matcher.go:119-211) collapses into this.
+
+    Join strategy: when the caller knows the record count (the pipeline
+    probes it anyway) and it is within ``cfg.broadcast_sides_max_records``,
+    the quantized side table broadcasts into both joins — the pair table
+    and the wide pair+features intermediate then never shuffle (the
+    intermediate is the single largest exchange in the pipeline: every
+    pair row carries BOTH sides' ~300 B payloads). Above the gate the
+    joins stay shuffled-hash — the shape that survives 10^12 records."""
     import numpy as np
 
     w = cfg
@@ -445,6 +456,8 @@ def score_pairs_onepass(
         F.col("sig").alias("r_sig"), F.col("embedding").alias("r_emb"),
         F.col("tfblob").alias("r_tfblob"),
     )
+    if n_records is not None and n_records <= cfg.broadcast_sides_max_records:
+        lhs, rhs = F.broadcast(lhs), F.broadcast(rhs)
     joined = pairs.join(lhs, "left_id").join(rhs, "right_id")
     return joined.mapInPandas(fn, SCORED_SCHEMA)
 
