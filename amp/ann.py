@@ -131,10 +131,16 @@ def ivf_topk(
     lowest-id corpus vectors — a deterministic, oracle-checkable
     stand-in for trained k-means centroids (swap trained ones in via
     the parameter; list structure and query plan are identical). The
-    build collects only C tiny rows once; centroid literals then fold
-    into the plan, so list ASSIGNMENT is a pure scan-side projection —
-    no shuffle, no per-row driver work. Recall is tunable via n_probe
-    (n_probe == n_centroids degenerates to exact brute force)."""
+    build collects only C tiny rows once. List ASSIGNMENT and query
+    PROBING run as one Arrow-batched numpy kernel each (scan-side, no
+    shuffle): ||v-c||^2 = ||v||^2 - 2 v.C^T + ||c||^2 via a single
+    (batch x C) GEMM, argmin ties to the lowest centroid id — the same
+    ordering the SQL oracle computes. An earlier all-expression variant
+    folded C x dim literals into the plan; with 16 x 64 centroids the
+    ~1000-literal tree cost SECONDS of Catalyst analysis per run, so
+    only the centroid-free parts (exact cosine, top-k window) stay as
+    JVM expressions. Recall is tunable via n_probe (n_probe ==
+    n_centroids degenerates to exact brute force)."""
     if centroids is None:
         # the n_centroids LOWEST-ID vectors (not `id < n_centroids`,
         # which assumes a 0-based contiguous id space)
@@ -157,42 +163,65 @@ def ivf_topk(
     if len(centroids) < n_probe:
         raise ValueError("n_probe exceeds centroid count")
 
-    def _dist_to(vc: str, cent: list[float]):
-        lits = ",".join(repr(float(x)) for x in cent)
-        return F.expr(
-            f"aggregate(zip_with({vc}, array({lits}), (x, y) -> (x - y) * (x - y)), "
-            f"0.0D, (a, v) -> a + v)"
-        )
+    import pandas as pd
 
-    def _dist_structs(vc: str):
-        return F.array(
-            *[
-                F.struct(_dist_to(vc, c).alias("d"), F.lit(j).alias("c"))
-                for j, c in enumerate(centroids)
-            ]
-        )
+    C = np.asarray(centroids, dtype=np.float64)
+    c_sq = (C * C).sum(axis=1)
+    dim = C.shape[1]
 
-    def _ranked_lists(vc: str):
-        """array of centroid ids ordered by distance (ties -> lower id),
-        as a pure projection over centroid literals (array_sort on
-        struct<d,c> orders lexicographically)."""
-        return F.transform(F.array_sort(_dist_structs(vc)), lambda s: s["c"])
+    def _d2(pdf, col):
+        """(batch x C) squared distances via one GEMM. Ordering (all
+        that downstream consumes) matches the oracle's per-term sum;
+        ties broken by LOWER centroid id (argmin/stable argsort)."""
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[col]])
+        if V.shape[1] != dim:
+            raise ValueError(
+                f"ivf_topk: vector dim {V.shape[1]} != centroid dim {dim}"
+            )
+        return (V * V).sum(axis=1)[:, None] - 2.0 * (V @ C.T) + c_sq[None, :]
 
+    def assign_fn(batches):
+        for pdf in batches:
+            if len(pdf):
+                pdf = pdf.assign(
+                    list_id=_d2(pdf, "cv").argmin(axis=1).astype("int32")
+                )
+            else:
+                pdf = pdf.assign(list_id=np.array([], dtype="int32"))
+            yield pdf
+
+    def probe_fn(batches):
+        for pdf in batches:
+            if not len(pdf):
+                yield pd.DataFrame(
+                    {"query_id": pdf["query_id"], "qv": pdf["qv"],
+                     "list_id": np.array([], dtype="int32")}
+                )
+                continue
+            # stable argsort = distance order, ties -> lower centroid id;
+            # explode the n_probe nearest lists here (n_probe rows/query)
+            order = np.argsort(_d2(pdf, "qv"), axis=1, kind="stable")[:, :n_probe]
+            idx = np.repeat(np.arange(len(pdf)), n_probe)
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].values[idx],
+                    "qv": pdf["qv"].values[idx],
+                    "list_id": order.reshape(-1).astype("int32"),
+                }
+            )
+
+    c_schema = f"corpus_id {dict(corpus.dtypes)[id_col]}, cv array<double>, list_id int"
+    q_schema = f"query_id {dict(queries.dtypes)[id_col]}, qv array<double>, list_id int"
     c = (
         corpus.select(F.col(id_col).alias("corpus_id"), _as_double(vec_col).alias("cv"))
-        .withColumn(
-            # assignment needs only the argmin: array_min on the struct
-            # array (O(C)) instead of sorting the whole ranking (O(C log C))
-            "list_id", F.array_min(_dist_structs("cv"))["c"]
-        )
+        .mapInPandas(assign_fn, c_schema)
         .withColumn("cn", _norm("cv"))
         # zero-norm guard: NaN cosine ranks first in a desc window
         .where(F.col("cn") > 0)
     )
     q = (
         queries.select(F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv"))
-        .withColumn("probe_lists", F.slice(_ranked_lists("qv"), 1, n_probe))
-        .withColumn("list_id", F.explode("probe_lists"))
+        .mapInPandas(probe_fn, q_schema)
         .withColumn("qn", _norm("qv"))
         .where(F.col("qn") > 0)
         .select("query_id", "qv", "qn", "list_id")
