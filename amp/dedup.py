@@ -45,19 +45,24 @@ def _distinct_tokens(docs: DataFrame) -> DataFrame:
     )
 
 
-def _shingles_col(text_col: str = "text", k: int = 3):
-    """Word k-shingles of the tokenized text (whole text when shorter,
-    nothing at all for token-less docs — an empty/punctuation-only doc
-    must NOT contribute the shared '' shingle, which would glue every
-    such doc into one mega-bucket across all bands). Token unigrams
-    would be degenerate on small-vocabulary corpora (every doc contains
-    the global min token)."""
-    toks_sql = f"filter(split(lower({text_col}), '{'[^a-z0-9]+'}'), x -> x != '')"
-    toks = tokens_col(text_col)
+def _shingles_of_tokens(tok_col: str = "toks", k: int = 3):
+    """Word k-shingles over an ALREADY-MATERIALIZED token-array column
+    (whole text when shorter, nothing at all for token-less docs — an
+    empty/punctuation-only doc must NOT contribute the shared ''
+    shingle, which would glue every such doc into one mega-bucket
+    across all bands). Token unigrams would be degenerate on
+    small-vocabulary corpora (every doc contains the global min token).
+
+    Callers must project the token array in a separate step first:
+    inlining the tokenizer (split+filter) here would place it inside
+    the transform lambda, re-splitting the full text once per shingle
+    position — quadratic in document length (measured ~2.4x on the
+    sf0.1 minhash query)."""
+    toks = F.col(tok_col)
     whole = F.array(F.concat_ws(" ", toks))
     slid = F.expr(
-        f"transform(sequence(1, size({toks_sql}) - {k - 1}), "
-        f"i -> concat_ws(' ', slice({toks_sql}, i, {k})))"
+        f"transform(sequence(1, size({tok_col}) - {k - 1}), "
+        f"i -> concat_ws(' ', slice({tok_col}, i, {k})))"
     )
     return (
         F.when(F.size(toks) == 0, F.expr("array()"))
@@ -67,8 +72,15 @@ def _shingles_col(text_col: str = "text", k: int = 3):
 
 
 def _distinct_shingles(docs: DataFrame, k: int = 3) -> DataFrame:
-    return docs.select(
-        "doc_id", F.explode(F.array_distinct(_shingles_col("text", k))).alias("shingle")
+    # two-step projection: the token array materializes once per row
+    # (Catalyst's CollapseProject keeps multiply-referenced non-cheap
+    # aliases in their own project), then shingling slices it
+    return (
+        docs.select("doc_id", tokens_col().alias("toks"))
+        .select(
+            "doc_id",
+            F.explode(F.array_distinct(_shingles_of_tokens("toks", k))).alias("shingle"),
+        )
     )
 
 

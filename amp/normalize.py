@@ -188,16 +188,22 @@ def shingles_expr(k: int, text_col: str = "norm_text"):
     ``hash``), no Python. Empty-ish docs get a single whole-string shingle
     (reference parity: ngrams() returns the whole string when shorter
     than n, ngram_similarity.go:41-43). norm_text is single-space
-    delimited by construction, so split(' ') is exact."""
-    toks = f"split({text_col}, ' ')"
+    delimited by construction, so split(' ') is exact.
+
+    The token array is bound as a lambda VARIABLE (``transform`` over a
+    1-element wrapper), not inlined into the sliding-window lambda:
+    inlining would re-split the full text once per shingle position —
+    quadratic in document length (same fix as
+    dedup._shingles_of_tokens)."""
     return F.expr(
         f"""
-        CASE WHEN size({toks}) < {k}
-             THEN array(hash({text_col}))
-             ELSE transform(
-                    sequence(1, size({toks}) - {k} + 1),
-                    i -> hash(concat_ws(' ', slice({toks}, i, {k}))))
-        END
+        element_at(transform(array(split({text_col}, ' ')), ts ->
+          CASE WHEN size(ts) < {k}
+               THEN array(hash({text_col}))
+               ELSE transform(
+                      sequence(1, size(ts) - {k} + 1),
+                      i -> hash(concat_ws(' ', slice(ts, i, {k}))))
+          END), 1)
         """
     )
 
