@@ -471,6 +471,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["curate_corpus"] = q_curate
 
+    # ---- curation: transitive near-dup clusters + canonical pick ----
+    # the transitive extension of curate()'s pairwise verdict: LSH
+    # candidates -> exact-Jaccard edges -> connected components;
+    # is_canonical = (doc_id == cluster_id) since cluster_id is the
+    # min member id. Oracle: the same edge SQL + WITH RECURSIVE closure.
+    q["dedup_clusters"] = lambda spark, sf_dir: dedup.near_dup_clusters(
+        _docs(spark, sf_dir), jaccard_threshold=0.8, bands=4
+    )
+
     # ---- J6 + CC: transitive clustering with a bit-exact SQL oracle ----
     # The REAL clustering operator (amp.cluster.connected_components —
     # driver union-find / large-small-star, the same code the flagship
@@ -1055,6 +1064,71 @@ FROM documents d
 JOIN qual q ON q.doc_id = d.doc_id
 JOIN lid l ON l.doc_id = d.doc_id
 LEFT JOIN drops dr ON dr.doc_id = d.doc_id
+"""
+
+    # dedup_clusters: the same LSH-candidate -> exact-Jaccard edge set
+    # as curate_corpus, extended to TRANSITIVE clusters via WITH
+    # RECURSIVE min-label reachability (cluster_id = min member id,
+    # singletons self-labeled, is_canonical = doc_id == cluster_id)
+    o["dedup_clusters"] = f"""
+WITH RECURSIVE tl AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+  FROM documents
+),
+shl AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) = 0 THEN []::VARCHAR[]
+              WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+              ELSE list_transform(range(len(toks) - 2),
+                                  i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])
+         END AS shingles
+  FROM tl
+),
+dsh AS (SELECT DISTINCT doc_id, s.shingle FROM shl, UNNEST(shingles) AS s(shingle)),
+mh AS (SELECT doc_id, {band_mins} FROM dsh GROUP BY doc_id),
+keys AS ({band_union}),
+cand AS (
+  SELECT DISTINCT l.doc_id AS left_id, r.doc_id AS right_id
+  FROM keys l JOIN keys r ON l.band = r.band AND l.band_key = r.band_key
+  WHERE l.doc_id < r.doc_id
+),
+dtoks2 AS (SELECT DISTINCT doc_id, t.token FROM tl, UNNEST(toks) AS t(token)),
+sizes AS (SELECT doc_id, count(*) AS n_tok FROM dtoks2 GROUP BY doc_id),
+inter AS (
+  SELECT p.left_id, p.right_id, count(*) AS n_inter
+  FROM cand p
+  JOIN dtoks2 lt ON lt.doc_id = p.left_id
+  JOIN dtoks2 rt ON rt.doc_id = p.right_id AND rt.token = lt.token
+  GROUP BY p.left_id, p.right_id
+),
+edges AS (
+  SELECT p.left_id, p.right_id
+  FROM cand p
+  LEFT JOIN inter i ON i.left_id = p.left_id AND i.right_id = p.right_id
+  LEFT JOIN sizes ls ON ls.doc_id = p.left_id
+  LEFT JOIN sizes rs ON rs.doc_id = p.right_id
+  WHERE round(CASE WHEN coalesce(ls.n_tok, 0) + coalesce(rs.n_tok, 0) - coalesce(i.n_inter, 0) > 0
+                   THEN coalesce(i.n_inter, 0)
+                        / (coalesce(ls.n_tok, 0) + coalesce(rs.n_tok, 0) - coalesce(i.n_inter, 0))
+                   ELSE 0.0 END, 6) >= 0.8
+),
+sym AS (
+  SELECT left_id AS u, right_id AS v FROM edges
+  UNION
+  SELECT right_id, left_id FROM edges
+),
+reach(u, v) AS (
+  SELECT u, v FROM sym
+  UNION
+  SELECT r.u, s.v FROM reach r JOIN sym s ON s.u = r.v WHERE s.v <> r.u
+),
+labels AS (SELECT u AS doc_id, min(v) AS mn FROM reach GROUP BY u)
+SELECT d.doc_id,
+       coalesce(least(l.doc_id, l.mn), d.doc_id) AS cluster_id,
+       (coalesce(least(l.doc_id, l.mn), d.doc_id) = d.doc_id) AS is_canonical
+FROM documents d
+LEFT JOIN labels l ON l.doc_id = d.doc_id
 """
 
     # er_pipeline_clusters: transitive closure over the threshold-edge

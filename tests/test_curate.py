@@ -65,3 +65,25 @@ def test_curate_verdicts(spark, docs):
     assert out[0]["pred_lang"] == "en" and out[0]["keep"] is True
     # german docs rejected by language regardless of quality
     assert out[1]["pred_lang"] == "de" and out[1]["keep"] is False
+
+
+def test_near_dup_clusters_transitive_chain(spark):
+    from amp import dedup
+
+    # a-b and b-c are near-dups (one token differs); a-c differs by two
+    # tokens but must land in ONE cluster via transitivity
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    rows = [
+        (1, base + "tail one two"),
+        (2, base + "tail one three"),
+        (3, base + "tail four three"),
+        (10, "completely different text about nothing shared at all"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in dedup.near_dup_clusters(docs, jaccard_threshold=0.8).collect()}
+    assert len(out) == 4  # one row per input
+    assert out[1]["cluster_id"] == out[2]["cluster_id"] == out[3]["cluster_id"] == 1
+    assert out[10]["cluster_id"] == 10  # singleton self-labeled
+    # canonical = min member id, exactly one per cluster
+    assert out[1]["is_canonical"] and out[10]["is_canonical"]
+    assert not out[2]["is_canonical"] and not out[3]["is_canonical"]
