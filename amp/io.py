@@ -84,7 +84,10 @@ def write_results(
         raise ValueError(f"unsupported format: {fmt}")
 
 
-def results_json(df: DataFrame, limit: int = 1000) -> list[dict]:
+def results_json(df: DataFrame, limit: int | None = 1000) -> list[dict]:
     """The HTTP-response analog (handler.go:190): small, request-scoped
-    outputs only — this is a driver-side collect by design."""
-    return [row.asDict(recursive=True) for row in df.limit(limit).collect()]
+    outputs only — this is a driver-side collect by design. limit=None
+    collects everything (callers that cache and slice themselves)."""
+    if limit is not None:
+        df = df.limit(limit)
+    return [row.asDict(recursive=True) for row in df.collect()]

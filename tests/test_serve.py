@@ -113,3 +113,24 @@ def test_type_malformed_payload_is_400_not_500(spark, small_corpus, service):
             assert ei.value.code == 400, body
     finally:
         httpd.shutdown()
+
+
+def test_duplicates_cached_after_first_call(spark, small_corpus, service, monkeypatch):
+    import amp.pipeline as P
+
+    calls = {"n": 0}
+    real = P.run_pipeline
+
+    def counting(*a, **kw):
+        calls["n"] += 1
+        return real(*a, **kw)
+
+    monkeypatch.setattr(P, "run_pipeline", counting)
+    service._dup_cache = None  # isolate from other tests
+    a = service.duplicates(limit=50)
+    b = service.duplicates(limit=50)
+    assert a == b and len(a) > 0
+    assert calls["n"] == 1  # second call served from the materialized table
+    # refresh recomputes
+    c = service.duplicates(limit=50, refresh=True)
+    assert calls["n"] == 2 and c == a
