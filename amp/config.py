@@ -42,16 +42,25 @@ class AmpConfig:
     w_path_lev: float = 0.10        # normalized Levenshtein similarity on stem
     w_lang_match: float = 0.05
 
-    broadcast_sides_max_records: int = 500_000
+    broadcast_sides_max_records: int = 100_000
                                     # scorer join strategy: at or below this many
                                     # records the quantized side-features table
-                                    # (~300 B/record -> <=150 MB) broadcasts into
+                                    # (~300 B/record -> <=30 MB) broadcasts into
                                     # BOTH scorer joins, so the pair table and the
                                     # wide pair+features intermediate never
                                     # shuffle; above it, shuffled-hash joins
                                     # (the only shape that survives 10^12 rows).
-                                    # On a cluster this is the executor-memory
-                                    # budget knob for the dimension-style side.
+                                    # Crossover measured on the 280k-record
+                                    # scaling job (scripts/phase_scaling.py):
+                                    # broadcast cuts the scoring phase ~13s at
+                                    # local[2] but ADDS ~6s at local[8] — the
+                                    # relation build is driver-single-threaded
+                                    # and the shuffle it replaces was parallel —
+                                    # so the default keeps SHJ at that size. On
+                                    # a real cluster (per-executor broadcast vs
+                                    # network-wide shuffle) the crossover sits
+                                    # higher; the knob is the executor-memory
+                                    # budget for the dimension-style side.
 
     # ---- rank / edges ----
     score_threshold: float = 0.62   # composite in [0,1]; >= threshold -> edge

@@ -1,0 +1,158 @@
+"""Per-phase scaling account — the decisive evidence behind the
+N-vs-4N gate interpretation (BENCH/BASELINE.md).
+
+Runs the ER pipeline's default path phase by phase (same pins, same
+config as amp.pipeline.run_pipeline) over the pre-generated scaling
+corpus and times each phase. One invocation = one parallelism level in
+this process; --both spawns a subprocess per level (a JVM cannot change
+master in-process) and prints the combined table with per-phase 4x
+efficiency.
+
+    python scripts/phase_scaling.py --both --lo 2 --hi 8
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+PHASES = [
+    "normalize+pin",
+    "uniqueness_probe",
+    "reps+pin",
+    "sides(idf+features)+pin",
+    "pairs+joins+score+pin",
+    "edges+cc",
+    "counts",
+]
+
+
+def run_phases(cpus: int, n_base: int) -> dict:
+    from bench import _corpus_path, _warmup
+    from amp import blocking, cluster, normalize, rank, scoring
+    from amp.config import DEFAULT_CONFIG as cfg
+    from amp.features import idf_map
+    from amp.session import get_spark
+    from pyspark.sql import functions as F
+
+    mult = 4 if n_base >= 50_000 else 1
+    spark = get_spark("phase-scaling", cpus=cpus, shuffle_partitions=cpus * mult)
+    path = _corpus_path(spark, n_base)
+    _warmup(spark)
+    t: dict[str, float] = {}
+
+    def timed(name, thunk):
+        t0 = time.time()
+        out = thunk()
+        t[name] = round(time.time() - t0, 2)
+        return out
+
+    files = spark.read.parquet(path)
+    records = timed(
+        "normalize+pin",
+        lambda: normalize.normalize(files, cfg).localCheckpoint(eager=True),
+    )
+    n_rows, n_ids, n_contents = timed(
+        "uniqueness_probe", lambda: normalize.uniqueness_stats(records)
+    )
+    assert n_rows == n_ids, "scaling corpus has unique ids by construction"
+    reps = timed(
+        "reps+pin",
+        lambda: normalize.representatives(records).localCheckpoint(eager=True),
+    )
+    ex_edges = normalize.exact_edges(records)
+
+    def _sides():
+        idf = idf_map(reps, n_contents, cfg)
+        return scoring.side_features_onepass(reps, idf, cfg).localCheckpoint(eager=True)
+
+    sides = timed("sides(idf+features)+pin", _sides)
+
+    def _score():
+        sigs = sides.select("record_id", "sig")
+        blocks = blocking.all_blocks(reps, sigs, cfg)
+        pairs = blocking.candidate_pairs(blocks, cfg)
+        return scoring.score_pairs_onepass(
+            pairs, sides, cfg, n_records=n_rows
+        ).localCheckpoint(eager=True)
+
+    scored = timed("pairs+joins+score+pin", _score)
+
+    def _cc():
+        edges = (
+            rank.threshold_edges(scored, cfg)
+            .select("left_id", "right_id", "pass_name")
+            .unionByName(ex_edges.select("left_id", "right_id", "pass_name"))
+        )
+        return cluster.connected_components(
+            edges, all_nodes=records.select("record_id"), cfg=cfg, nodes_unique=True
+        )
+
+    clusters = timed("edges+cc", _cc)
+
+    def _counts():
+        return (
+            scored.count(),
+            clusters.agg(F.countDistinct("cluster_id")).collect()[0][0],
+        )
+
+    n_pairs, n_clusters = timed("counts", _counts)
+    total = round(sum(t.values()), 2)
+    return {
+        "cpus": cpus, "phases": t, "total": total,
+        "records": n_rows, "pairs": n_pairs, "clusters": n_clusters,
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpus", type=int, default=8)
+    ap.add_argument("--n-base", type=int, default=200_000)
+    ap.add_argument("--both", action="store_true")
+    ap.add_argument("--lo", type=int, default=2)
+    ap.add_argument("--hi", type=int, default=8)
+    ap.add_argument("--cooldown", type=int, default=45)
+    args = ap.parse_args()
+
+    if not args.both:
+        print(json.dumps(run_phases(args.cpus, args.n_base)))
+        return
+
+    results = {}
+    for cpus in (args.lo, args.hi):
+        if results:
+            time.sleep(args.cooldown)
+        env = dict(os.environ)
+        env.setdefault("AMP_DRIVER_MEM", "16g")
+        if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
+            env.setdefault("AMP_LOCAL_DIR", "/dev/shm/amp_spark_local")
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__),
+             "--cpus", str(cpus), "--n-base", str(args.n_base)],
+            capture_output=True, text=True, env=env,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        )
+        line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+        results[cpus] = json.loads(line)
+
+    lo, hi = results[args.lo], results[args.hi]
+    factor = args.hi / args.lo
+    print(f"\n| phase | local[{args.lo}] s | local[{args.hi}] s | {factor:.0f}x efficiency |")
+    print("|---|---|---|---|")
+    for p in PHASES:
+        a, b = lo["phases"][p], hi["phases"][p]
+        eff = a / (factor * b) if b > 0 else float("nan")
+        print(f"| {p} | {a} | {b} | {eff:.2f} |")
+    eff_total = lo["total"] / (factor * hi["total"])
+    print(f"| TOTAL | {lo['total']} | {hi['total']} | {eff_total:.2f} |")
+    print(json.dumps({"lo": lo, "hi": hi, "efficiency_total": round(eff_total, 3)}))
+
+
+if __name__ == "__main__":
+    main()
