@@ -187,8 +187,12 @@ def match_records(
     i_blocks = _blocks_for(index.sides, index.records, cfg).select(
         F.col("record_id").alias("right_id"), "block_key"
     )
+    # the query side is request-scoped by definition (single record or
+    # an HTTP batch) — broadcast it so the INDEX blocks table (records
+    # x ~9 keys, the big side at scale) streams map-side and never
+    # shuffles per request
     pairs = (
-        q_blocks.join(i_blocks, "block_key")
+        i_blocks.join(F.broadcast(q_blocks), "block_key")
         .select("left_id", "right_id")
         .where(F.col("left_id") != F.col("right_id"))
         .dropDuplicates(["left_id", "right_id"])
