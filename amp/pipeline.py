@@ -184,6 +184,12 @@ def main() -> None:
     ap.add_argument("--run-id", type=int, default=0)
     ap.add_argument("--checkpoint-root", default=None)
     ap.add_argument("--cpus", type=int, default=None)
+    ap.add_argument(
+        "--output", default=None,
+        help="write the cluster assignment table here (parquet, "
+        "write-locality-sorted by cluster_id so footer min/max stats "
+        "prune cluster lookups)",
+    )
     args = ap.parse_args()
 
     from .session import get_spark
@@ -204,6 +210,17 @@ def main() -> None:
     )
     n_clusters = out["clusters"].agg(F.countDistinct("cluster_id")).collect()[0][0]
     n_records = out["clusters"].count()
+    if args.output:
+        from .io import write_results
+
+        # O3 write-locality sort: rows ordered inside each output file
+        # (no global shuffle) -> parquet footer min/max on cluster_id
+        # serve point lookups / range scans without reading every file
+        write_results(
+            out["clusters"].withColumn("run_id", F.lit(args.run_id)),
+            args.output,
+            sort_within_partitions=("cluster_id", "record_id"),
+        )
     print(
         json.dumps(
             {
