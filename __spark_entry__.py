@@ -471,6 +471,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["curate_corpus"] = q_curate
 
+    # ---- dedup: exact-substring duplicates (contamination case) ----
+    # identical >=16-token spans, content-defined window sampling
+    # (alignment-free), md5 keys shared with the DuckDB twin
+    q["dedup_substring"] = lambda spark, sf_dir: dedup.substring_duplicates(
+        _docs(spark, sf_dir), window=16
+    )
+
     # ---- curation: transitive near-dup clusters + canonical pick ----
     # the transitive extension of curate()'s pairwise verdict: LSH
     # candidates -> exact-Jaccard edges -> connected components;
@@ -1064,6 +1071,40 @@ FROM documents d
 JOIN qual q ON q.doc_id = d.doc_id
 JOIN lid l ON l.doc_id = d.doc_id
 LEFT JOIN drops dr ON dr.doc_id = d.doc_id
+"""
+
+    # dedup_substring: every 16-token window md5-hashed (stride 1),
+    # kept iff the hash starts with '0' (content-defined 1/16 sampling —
+    # alignment-free), frequency-capped, then a pair-count equi-join.
+    # Window k at position i: Spark slice(toks, i, 16) == DuckDB
+    # toks[i : i+15] (inclusive ends); Spark sequence(1, n) inclusive ==
+    # DuckDB range(1, n+1) exclusive.
+    o["dedup_substring"] = """
+WITH tl AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+  FROM documents
+),
+wins AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) < 16 THEN []::VARCHAR[]
+              ELSE list_filter(
+                     list_transform(range(1, len(toks) - 14),
+                                    i -> md5(array_to_string(toks[i:i+15], ' '))),
+                     h -> substr(h, 1, 1) = '0')
+         END AS whashes
+  FROM tl
+),
+wh AS (SELECT DISTINCT doc_id, w.whash FROM wins, UNNEST(whashes) AS w(whash)),
+freq AS (SELECT whash, count(*) AS freq FROM wh GROUP BY whash),
+keep AS (
+  SELECT wh.doc_id, wh.whash
+  FROM wh JOIN freq USING (whash)
+  WHERE freq.freq > 1 AND freq.freq <= 64
+)
+SELECT l.doc_id AS left_id, r.doc_id AS right_id, count(*) AS n_shared_windows
+FROM keep l JOIN keep r ON l.whash = r.whash AND l.doc_id < r.doc_id
+GROUP BY l.doc_id, r.doc_id
 """
 
     # dedup_clusters: the same LSH-candidate -> exact-Jaccard edge set

@@ -160,6 +160,78 @@ def ngram_jaccard(docs: DataFrame, pairs: DataFrame) -> DataFrame:
     )
 
 
+def substring_duplicates(
+    docs: DataFrame,
+    window: int = 32,
+    sample_hex: str = "0",
+    max_window_freq: int = 64,
+    use_md5: bool = True,
+) -> DataFrame:
+    """Exact-substring duplicate pairs: documents sharing at least one
+    identical ``window``-token span, the contamination/boilerplate case
+    that set-based near-dup (Jaccard over all tokens) MISSES when two
+    long documents overlap only partially. Returns
+    (left_id, right_id, n_shared_windows).
+
+    Every window position is hashed (stride 1) and then sampled
+    CONTENT-DEFINED: a window is kept iff its hash starts with
+    ``sample_hex`` (md5 path) / its int hash ≡ 0 mod 16 (xxhash64
+    path). Sampling by hash value instead of by position makes the
+    selection alignment-free — both documents keep exactly the same
+    windows of a shared span no matter where the span sits in each, so
+    a shared span of L >= window tokens is detected with probability
+    1-(15/16)^(L-window+1) (≈0.86 at L=window+31, →1 rapidly). A
+    positional stride would silently miss mis-aligned copies.
+
+    Windows seen in more than ``max_window_freq`` documents (license
+    headers, generated boilerplate) are excluded from pair generation —
+    the same frequency-cap-over-hot-keys policy as the blocking stage
+    (never a silent explosion; lower the cap for dirtier corpora).
+
+    ``use_md5=True`` (default) hashes windows with md5 — engine-portable,
+    so the DuckDB oracle computes identical keys. ``use_md5=False`` uses
+    xxhash64 int keys (cheaper shuffles, the production choice); the
+    pair set is identical up to hash-sampling (asserted in tests on the
+    planted fixture). At scale: the window explode is ~n_tokens/16 rows
+    per doc, the join is a capped equi-self-join on the window key —
+    never all-pairs."""
+    toks = docs.select("doc_id", tokens_col().alias("toks"))
+    hash_one = "md5" if use_md5 else "xxhash64"
+    win_hash = (
+        f"transform(sequence(1, size(toks) - {window - 1}), "
+        f"i -> {hash_one}(concat_ws(' ', slice(toks, i, {window}))))"
+    )
+    if use_md5:
+        keep = f"filter({win_hash}, h -> substring(h, 1, {len(sample_hex)}) = '{sample_hex}')"
+    else:
+        keep = f"filter({win_hash}, h -> pmod(h, 16) = 0)"
+    # docs shorter than the window contain no full window — and Spark's
+    # sequence(1, n) DESCENDS for n < 1 instead of being empty, so the
+    # short case must be guarded out explicitly (typed empty array: the
+    # CASE branches must agree on array<string> vs array<bigint>)
+    empty_t = "string" if use_md5 else "bigint"
+    guarded = (
+        f"CASE WHEN size(toks) < {window} "
+        f"THEN CAST(array() AS array<{empty_t}>) ELSE {keep} END"
+    )
+    wh = toks.select(
+        "doc_id", F.explode(F.array_distinct(F.expr(guarded))).alias("whash")
+    )
+    from pyspark.sql import Window as W
+
+    sized = wh.withColumn(
+        "freq", F.count("*").over(W.partitionBy("whash"))
+    ).where((F.col("freq") > 1) & (F.col("freq") <= max_window_freq))
+    l = sized.select(F.col("doc_id").alias("left_id"), "whash")
+    r = sized.select(F.col("doc_id").alias("right_id"), "whash")
+    return (
+        l.join(r, "whash")
+        .where(F.col("left_id") < F.col("right_id"))
+        .groupBy("left_id", "right_id")
+        .agg(F.count("*").alias("n_shared_windows"))
+    )
+
+
 def near_dup_clusters(
     docs: DataFrame, jaccard_threshold: float = 0.8, bands: int = 4
 ) -> DataFrame:

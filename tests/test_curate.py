@@ -87,3 +87,33 @@ def test_near_dup_clusters_transitive_chain(spark):
     # canonical = min member id, exactly one per cluster
     assert out[1]["is_canonical"] and out[10]["is_canonical"]
     assert not out[2]["is_canonical"] and not out[3]["is_canonical"]
+
+
+def test_substring_duplicates_alignment_free(spark):
+    import random
+
+    from amp import dedup
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(500)]
+
+    def words(n):
+        return " ".join(rng.choice(vocab) for _ in range(n))
+
+    span = words(200)        # long shared span -> sampling miss prob ~1e-5
+    short_overlap = words(20)  # below the 32-token window
+    rows = [
+        (1, words(15) + " " + span + " " + words(40)),   # span at offset 15
+        (2, words(33) + " " + span + " " + words(5)),    # span at offset 33
+        (3, words(60) + " " + short_overlap + " " + words(30)),
+        (4, words(10) + " " + short_overlap + " " + words(80)),
+        (5, "too short"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for use_md5 in (True, False):
+        out = {(r["left_id"], r["right_id"]): r["n_shared_windows"]
+               for r in dedup.substring_duplicates(docs, window=32, use_md5=use_md5).collect()}
+        # the misaligned 200-token exact span is found; sub-window
+        # overlap and unrelated docs are not
+        assert set(out) == {(1, 2)}, out
+        assert out[(1, 2)] >= 1
