@@ -478,6 +478,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _docs(spark, sf_dir), window=16
     )
 
+    # ---- dedup: train-vs-eval contamination (cross-corpus substrings) ----
+    # deterministic eval split (doc_id % 20 == 0) so the oracle can
+    # reproduce it; train docs sharing a >=16-token span with any eval doc
+    def q_contamination(spark, sf_dir):
+        d = _docs(spark, sf_dir)
+        return dedup.substring_contamination(
+            d.where(F.col("doc_id") % 20 != 0),
+            d.where(F.col("doc_id") % 20 == 0),
+            window=16,
+        )
+
+    q["dedup_contamination"] = q_contamination
+
     # ---- curation: transitive near-dup clusters + canonical pick ----
     # the transitive extension of curate()'s pairwise verdict: LSH
     # candidates -> exact-Jaccard edges -> connected components;
@@ -1105,6 +1118,35 @@ keep AS (
 SELECT l.doc_id AS left_id, r.doc_id AS right_id, count(*) AS n_shared_windows
 FROM keep l JOIN keep r ON l.whash = r.whash AND l.doc_id < r.doc_id
 GROUP BY l.doc_id, r.doc_id
+"""
+
+    # dedup_contamination: the same sampled windows, split train/eval by
+    # doc_id % 20, frequency cap on the TRAIN side only (eval repetition
+    # is the signal), train x eval join
+    o["dedup_contamination"] = """
+WITH tl AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+  FROM documents
+),
+wins AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) < 16 THEN []::VARCHAR[]
+              ELSE list_filter(
+                     list_transform(range(1, len(toks) - 14),
+                                    i -> md5(array_to_string(toks[i:i+15], ' '))),
+                     h -> substr(h, 1, 1) = '0')
+         END AS whashes
+  FROM tl
+),
+wh AS (SELECT DISTINCT doc_id, w.whash FROM wins, UNNEST(whashes) AS w(whash)),
+tw AS (SELECT doc_id AS train_id, whash FROM wh WHERE doc_id % 20 <> 0),
+ew AS (SELECT doc_id AS eval_id, whash FROM wh WHERE doc_id % 20 = 0),
+freq AS (SELECT whash, count(*) AS freq FROM tw GROUP BY whash),
+keep AS (SELECT tw.train_id, tw.whash FROM tw JOIN freq USING (whash) WHERE freq.freq <= 64)
+SELECT k.train_id, e.eval_id, count(*) AS n_shared_windows
+FROM keep k JOIN ew e ON k.whash = e.whash
+GROUP BY k.train_id, e.eval_id
 """
 
     # dedup_clusters: the same LSH-candidate -> exact-Jaccard edge set

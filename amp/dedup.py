@@ -160,6 +160,37 @@ def ngram_jaccard(docs: DataFrame, pairs: DataFrame) -> DataFrame:
     )
 
 
+def _sampled_windows(
+    docs: DataFrame, window: int, sample_hex: str, use_md5: bool
+) -> DataFrame:
+    """(doc_id, whash): every ``window``-token span hashed (stride 1),
+    kept iff the hash matches the content-defined sample predicate —
+    see substring_duplicates for why sampling by VALUE (not position)
+    is alignment-free."""
+    toks = docs.select("doc_id", tokens_col().alias("toks"))
+    hash_one = "md5" if use_md5 else "xxhash64"
+    win_hash = (
+        f"transform(sequence(1, size(toks) - {window - 1}), "
+        f"i -> {hash_one}(concat_ws(' ', slice(toks, i, {window}))))"
+    )
+    if use_md5:
+        keep = f"filter({win_hash}, h -> substring(h, 1, {len(sample_hex)}) = '{sample_hex}')"
+    else:
+        keep = f"filter({win_hash}, h -> pmod(h, 16) = 0)"
+    # docs shorter than the window contain no full window — and Spark's
+    # sequence(1, n) DESCENDS for n < 1 instead of being empty, so the
+    # short case must be guarded out explicitly (typed empty array: the
+    # CASE branches must agree on array<string> vs array<bigint>)
+    empty_t = "string" if use_md5 else "bigint"
+    guarded = (
+        f"CASE WHEN size(toks) < {window} "
+        f"THEN CAST(array() AS array<{empty_t}>) ELSE {keep} END"
+    )
+    return toks.select(
+        "doc_id", F.explode(F.array_distinct(F.expr(guarded))).alias("whash")
+    )
+
+
 def substring_duplicates(
     docs: DataFrame,
     window: int = 32,
@@ -195,28 +226,7 @@ def substring_duplicates(
     planted fixture). At scale: the window explode is ~n_tokens/16 rows
     per doc, the join is a capped equi-self-join on the window key —
     never all-pairs."""
-    toks = docs.select("doc_id", tokens_col().alias("toks"))
-    hash_one = "md5" if use_md5 else "xxhash64"
-    win_hash = (
-        f"transform(sequence(1, size(toks) - {window - 1}), "
-        f"i -> {hash_one}(concat_ws(' ', slice(toks, i, {window}))))"
-    )
-    if use_md5:
-        keep = f"filter({win_hash}, h -> substring(h, 1, {len(sample_hex)}) = '{sample_hex}')"
-    else:
-        keep = f"filter({win_hash}, h -> pmod(h, 16) = 0)"
-    # docs shorter than the window contain no full window — and Spark's
-    # sequence(1, n) DESCENDS for n < 1 instead of being empty, so the
-    # short case must be guarded out explicitly (typed empty array: the
-    # CASE branches must agree on array<string> vs array<bigint>)
-    empty_t = "string" if use_md5 else "bigint"
-    guarded = (
-        f"CASE WHEN size(toks) < {window} "
-        f"THEN CAST(array() AS array<{empty_t}>) ELSE {keep} END"
-    )
-    wh = toks.select(
-        "doc_id", F.explode(F.array_distinct(F.expr(guarded))).alias("whash")
-    )
+    wh = _sampled_windows(docs, window, sample_hex, use_md5)
     from pyspark.sql import Window as W
 
     sized = wh.withColumn(
@@ -228,6 +238,42 @@ def substring_duplicates(
         l.join(r, "whash")
         .where(F.col("left_id") < F.col("right_id"))
         .groupBy("left_id", "right_id")
+        .agg(F.count("*").alias("n_shared_windows"))
+    )
+
+
+def substring_contamination(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    window: int = 32,
+    sample_hex: str = "0",
+    max_window_freq: int = 64,
+    use_md5: bool = True,
+) -> DataFrame:
+    """Cross-corpus form of ``substring_duplicates``: which TRAINING
+    documents contain a >= ``window``-token span that also appears in
+    an EVALUATION document — the benchmark-contamination check run
+    before training. Returns (train_id, eval_id, n_shared_windows).
+    Same content-defined sampling and frequency cap; the join is
+    train-windows x eval-windows only (never train x train), so the
+    eval side — tiny by definition — bounds the output."""
+    tw = _sampled_windows(train, window, sample_hex, use_md5).withColumnRenamed(
+        "doc_id", "train_id"
+    )
+    ew = _sampled_windows(eval_docs, window, sample_hex, use_md5).withColumnRenamed(
+        "doc_id", "eval_id"
+    )
+    from pyspark.sql import Window as W
+
+    # cap on the TRAIN side: a boilerplate window shared by thousands of
+    # training docs explodes the join; eval-side repetition is the
+    # signal itself and stays uncapped
+    tw = tw.withColumn("freq", F.count("*").over(W.partitionBy("whash"))).where(
+        F.col("freq") <= max_window_freq
+    )
+    return (
+        tw.join(F.broadcast(ew), "whash")
+        .groupBy("train_id", "eval_id")
         .agg(F.count("*").alias("n_shared_windows"))
     )
 

@@ -117,3 +117,30 @@ def test_substring_duplicates_alignment_free(spark):
         # overlap and unrelated docs are not
         assert set(out) == {(1, 2)}, out
         assert out[(1, 2)] >= 1
+
+
+def test_substring_contamination_train_vs_eval(spark):
+    import random
+
+    from amp import dedup
+
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(500)]
+
+    def words(n):
+        return " ".join(rng.choice(vocab) for _ in range(n))
+
+    eval_span = words(150)
+    train = spark.createDataFrame(
+        [
+            (1, words(20) + " " + eval_span + " " + words(30)),  # contaminated
+            (2, words(200)),                                      # clean
+        ],
+        "doc_id long, text string",
+    )
+    eval_docs = spark.createDataFrame(
+        [(100, eval_span), (101, words(100))], "doc_id long, text string"
+    )
+    out = dedup.substring_contamination(train, eval_docs, window=32).collect()
+    hits = {(r["train_id"], r["eval_id"]) for r in out}
+    assert hits == {(1, 100)}
