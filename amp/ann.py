@@ -135,7 +135,10 @@ def ivf_topk(
     PROBING run as one Arrow-batched numpy kernel each (scan-side, no
     shuffle): ||v-c||^2 = ||v||^2 - 2 v.C^T + ||c||^2 via a single
     (batch x C) GEMM, argmin ties to the lowest centroid id — the same
-    ordering the SQL oracle computes. An earlier all-expression variant
+    ordering as the SQL oracle's per-term sum up to FP ulps (the two
+    formulations can disagree only when two centroid distances differ
+    by less than the cancellation error, ~1e-13 relative; verified
+    hash-exact on the oracle corpora). An earlier all-expression variant
     folded C x dim literals into the plan; with 16 x 64 centroids the
     ~1000-literal tree cost SECONDS of Catalyst analysis per run, so
     only the centroid-free parts (exact cosine, top-k window) stay as
@@ -214,6 +217,10 @@ def ivf_topk(
     q_schema = f"query_id {dict(queries.dtypes)[id_col]}, qv array<double>, list_id int"
     c = (
         corpus.select(F.col(id_col).alias("corpus_id"), _as_double(vec_col).alias("cv"))
+        # NULL vectors must drop BEFORE the kernel (np.stack cannot mix a
+        # scalar nan with 1-d rows); the old expression path dropped them
+        # after assignment via the cn>0 guard — same rows survive
+        .where(F.col("cv").isNotNull())
         .mapInPandas(assign_fn, c_schema)
         .withColumn("cn", _norm("cv"))
         # zero-norm guard: NaN cosine ranks first in a desc window
@@ -221,6 +228,7 @@ def ivf_topk(
     )
     q = (
         queries.select(F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv"))
+        .where(F.col("qv").isNotNull())
         .mapInPandas(probe_fn, q_schema)
         .withColumn("qn", _norm("qv"))
         .where(F.col("qn") > 0)

@@ -90,7 +90,16 @@ class CheckpointManager:
         if not self.is_done(stage):
             return None
         with open(self._manifest_path(stage)) as fh:
-            return json.load(fh).get("snapshot")
+            row = json.load(fh)
+        # a manifest carries a VERSION pointer only in the versioned
+        # generation (marked by snapshot_digest). Older generations
+        # stored None or the file-set digest in "snapshot" — treating
+        # either as a version would filter on the nonexistent _v
+        # partition column; return None so read() takes the flat-layout
+        # branch
+        if "snapshot_digest" not in row:
+            return None
+        return row.get("snapshot")
 
     def rollback(self, stage: str, snapshot: str) -> None:
         """Move the stage's current pointer to an OLDER snapshot (its
@@ -107,12 +116,23 @@ class CheckpointManager:
         with open(self._manifest_path(stage)) as fh:
             row = json.load(fh)
         entry = log[snapshot]
+        # re-list the retained version's files: the manifest's explicit
+        # file list must describe the version the pointer now names, and
+        # a digest mismatch here means the "retained" files were lost —
+        # fail loudly rather than roll back to a hole
+        snap, files = self._snapshot_of(stage, snapshot)
+        if snap != entry["digest"]:
+            raise ValueError(
+                f"rollback: snapshot {snapshot!r} of stage {stage} no longer "
+                f"matches its logged digest (files lost or tampered)"
+            )
         row.update(
             snapshot=snapshot,
             snapshot_digest=entry["digest"],
             rows=entry["rows"],
             n_files=entry["n_files"],
             n_bytes=entry["n_bytes"],
+            files=files if len(files) <= 64 else None,
         )
         with open(self._manifest_path(stage), "w") as fh:
             json.dump(row, fh)
@@ -212,10 +232,16 @@ class CheckpointManager:
         passes)."""
         t0 = started_at if started_at is not None else time.time()
         path = self.table_path(stage)
-        # next version id = log length + 1 — a crashed write that never
-        # appended its log row reuses the same id and overwrites only
-        # its own partial version dir (idempotent retry)
-        version = f"{len(self.snapshots(stage)) + 1:06d}"
+        self._migrate_legacy_layout(stage)
+        # next version id = max(logged ids) + 1 — NOT log length:
+        # expire_snapshots truncates the log, and length+1 would then
+        # REUSE a still-live id and dynamic-overwrite its data files.
+        # A crashed write that never appended its log row still reuses
+        # its own id and overwrites only its partial dir (idempotent
+        # retry) because the max is unchanged.
+        log = self.snapshots(stage)
+        next_id = max((int(s["snapshot"]) for s in log), default=0) + 1
+        version = f"{next_id:06d}"
         if "run_id" not in df.columns:
             df = df.withColumn("run_id", F.lit(self.run_id))
         df.withColumn("_v", F.lit(version)).write.mode("overwrite").partitionBy(
@@ -270,6 +296,36 @@ class CheckpointManager:
                 fh,
             )
         return back
+
+    def _migrate_legacy_layout(self, stage: str) -> None:
+        """A pre-snapshot checkpoint laid files flat under run_id=<r>/;
+        writing a versioned _v=... dir NEXT TO them would make Spark's
+        partition discovery fail with conflicting directory structures.
+        Relocate any flat legacy content into _v=000000 (data preserved,
+        readable via read(stage, snapshot='000000')) before the first
+        versioned write."""
+        base = self._run_partition_dir(stage)
+        if not os.path.isdir(base):
+            return
+        flat = [n for n in os.listdir(base) if not n.startswith("_v=")]
+        if not flat:
+            return
+        legacy_dir = self._run_partition_dir(stage, "000000")
+        os.makedirs(legacy_dir, exist_ok=True)
+        for n in flat:
+            os.rename(os.path.join(base, n), os.path.join(legacy_dir, n))
+        snap, files = self._snapshot_of(stage, "000000")
+        entry = {
+            "snapshot": "000000",
+            "digest": snap,
+            "rows": None,  # unknown without a scan; the digest pins the files
+            "n_files": len(files),
+            "n_bytes": sum(f["bytes"] for f in files),
+            "ts": time.time(),
+            "migrated_legacy": True,
+        }
+        with open(self._snapshot_log_path(stage), "a") as fh:
+            fh.write(json.dumps(entry) + "\n")
 
     def _read_version(self, stage: str, version: str) -> DataFrame:
         return (

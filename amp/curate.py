@@ -47,7 +47,14 @@ def sample_fraction(
     """Deterministic Bernoulli(fraction) row sample keyed on
     ``key_col``: a row is kept iff md5-prefix(salt:key) < threshold.
     Stable under repartitioning, retries, resume, and across engines;
-    different salts give independent samples (train/held-out splits)."""
+    different salts give independent samples (train/held-out splits).
+    fraction >= 1.0 keeps every row exactly (the hex threshold saturates
+    at 'ffffffff' and the strict < would otherwise drop the ~2^-32 of
+    keys whose prefix IS 'ffffffff')."""
+    if fraction >= 1.0:
+        if fraction > 1.0:
+            raise ValueError(f"fraction {fraction} outside [0, 1]")
+        return docs
     return docs.where(_hash8(key_col, salt) < F.lit(fraction_threshold_hex(fraction)))
 
 

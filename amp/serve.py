@@ -41,7 +41,7 @@ class MatchService:
         self.index = index
         self._run_seq = 0
         self._lock = threading.Lock()
-        self._dup_cache: list[dict] | None = None
+        self._dup_df = None  # pinned clusters DataFrame, computed once
 
     def _next_run_id(self) -> int:
         with self._lock:
@@ -92,15 +92,16 @@ class MatchService:
 
         The index is immutable for the life of the service, so the
         clustering is computed ONCE (full blocking+scoring+CC pipeline,
-        request-scoped like the reference's endpoint) and the
-        materialized result list is served to every later call — the
-        interactive-latency expectation of the reference's `/duplicates`
-        without re-running the pipeline per unauthenticated request.
-        ``refresh=True`` forces a recompute (e.g. after swapping
-        ``self.index``); ``limit`` slices the cached full list."""
+        request-scoped like the reference's endpoint) and MATERIALIZED
+        as a pinned DataFrame; every call collects only its own
+        ``limit`` rows from it — interactive latency without re-running
+        the pipeline per unauthenticated request, and without ever
+        collecting the full cluster table to the driver (one row per
+        index record — GBs on a large index). ``refresh=True`` forces a
+        recompute (e.g. after swapping ``self.index``)."""
         with self._lock:
-            cached = None if refresh else self._dup_cache
-        if cached is None:
+            df = None if refresh else self._dup_df
+        if df is None:
             from .pipeline import run_pipeline
 
             out = run_pipeline(
@@ -110,10 +111,10 @@ class MatchService:
                 self._index_files_view(),
                 self.index.cfg,
             )
-            cached = amp_io.results_json(out["clusters"], limit=None)
+            df = out["clusters"].localCheckpoint(eager=True)
             with self._lock:
-                self._dup_cache = cached
-        return cached if limit is None else cached[:limit]
+                self._dup_df = df
+        return amp_io.results_json(df, limit=limit)
 
     def _index_files_view(self):
         # records table carries the original (repo, path, commit, lang)

@@ -81,16 +81,14 @@ def get_spark(
                 k, v = kv.split("=", 1)
                 builder = builder.config(k.strip(), v.strip())
     local_dir = os.environ.get("AMP_LOCAL_DIR")
-    if local_dir is None and os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
-        # default shuffle/spill scratch to tmpfs when available: the
-        # sandbox's /tmp sits on the shared system disk, and disk
-        # bandwidth is a non-scaling resource — measured ~14% faster at
-        # both parallelism levels. The single-machine analog of the
-        # NVMe-local shuffle dirs every production deployment
-        # configures. Set AMP_LOCAL_DIR to override (or to "" to keep
-        # Spark's default).
-        local_dir = "/dev/shm/amp_spark_local"
     if local_dir:
+        # opt-in shuffle/spill scratch override. The benchmark harness
+        # points this at tmpfs (/dev/shm) — measured ~14% faster at both
+        # parallelism levels on this sandbox, the single-machine analog
+        # of NVMe-local shuffle dirs — but the LIBRARY deliberately does
+        # not default to RAM-backed scratch: spark.local.dir exists
+        # precisely for spills larger than memory, and a silent tmpfs
+        # default would turn big-job spills into ENOSPC failures.
         builder = builder.config("spark.local.dir", local_dir)
     gc_opts = os.environ.get("AMP_GC_OPTS")
     if gc_opts:

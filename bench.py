@@ -342,6 +342,13 @@ executor time {t['total_exec_sec']} s (wall x cores x utilization).
 
 
 def main() -> None:
+    # benchmark-process tuning (NOT a library default): tmpfs shuffle
+    # scratch takes the shared system disk out of the measurement;
+    # AMP_LOCAL_DIR= (empty) opts out
+    if "AMP_LOCAL_DIR" not in os.environ and os.path.isdir("/dev/shm") and os.access(
+        "/dev/shm", os.W_OK
+    ):
+        os.environ["AMP_LOCAL_DIR"] = "/dev/shm/amp_spark_local"
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
     ap.add_argument("--cpus", type=int, default=DEFAULT_CPUS)

@@ -138,8 +138,14 @@ def main() -> None:
             capture_output=True, text=True, env=env,
             cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         )
-        line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
-        results[cpus] = json.loads(line)
+        lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
+        if out.returncode != 0 or not lines:
+            sys.stderr.write(out.stderr[-4000:])
+            raise RuntimeError(
+                f"phase run at cpus={cpus} failed (rc={out.returncode}); "
+                "stderr above"
+            )
+        results[cpus] = json.loads(lines[-1])
 
     lo, hi = results[args.lo], results[args.hi]
     factor = args.hi / args.lo

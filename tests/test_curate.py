@@ -144,3 +144,11 @@ def test_substring_contamination_train_vs_eval(spark):
     out = dedup.substring_contamination(train, eval_docs, window=32).collect()
     hits = {(r["train_id"], r["eval_id"]) for r in out}
     assert hits == {(1, 100)}
+
+
+def test_sample_fraction_one_keeps_every_row(spark, docs):
+    assert curate.sample_fraction(docs, 1.0).count() == docs.count()
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        curate.sample_fraction(docs, 1.5)

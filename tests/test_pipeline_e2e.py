@@ -258,3 +258,68 @@ def test_resume_from_older_snapshot_byte_identical_clusters(spark, tmp_path_fact
         ck.invalidate(st)
     out2 = run_pipeline(spark, files, checkpoint_root=root)
     assert cluster_sha(out2) == sha1
+
+
+def test_write_after_expire_never_reuses_a_live_version_id(spark, tmp_path_factory):
+    """Version ids must be max+1, not log-length+1: after
+    expire_snapshots truncates the log, a length-derived id would REUSE
+    a still-live version and dynamic-overwrite its retained data."""
+    from amp.checkpoint import CheckpointManager
+
+    root = str(tmp_path_factory.mktemp("vid_ck"))
+    ck = CheckpointManager(spark, root, run_id=0)
+    for n in (10, 20, 30):
+        ck.write(spark.range(n).selectExpr("id"), "nums")
+    v3 = ck.current_snapshot("nums")
+    ck.expire_snapshots("nums", keep_last=2)  # drops v1, keeps v2+v3
+    ck.write(spark.range(40).selectExpr("id"), "nums")
+    v4 = ck.current_snapshot("nums")
+    assert v4 != v3
+    # the retained older version is intact, not silently overwritten
+    assert ck.read("nums", snapshot=v3).count() == 30
+    assert ck.read("nums").count() == 40
+    ids = [s["snapshot"] for s in ck.snapshots("nums")]
+    assert len(ids) == len(set(ids)), f"duplicate version ids in log: {ids}"
+
+
+def test_legacy_flat_checkpoint_resumes_and_upgrades(spark, tmp_path_factory):
+    """A checkpoint written by the pre-snapshot generation (flat
+    run_id=<r>/ layout, manifest without snapshot_digest) must (a) be
+    readable -- current_snapshot returns None so read() takes the flat
+    branch instead of filtering on the nonexistent _v column -- and (b)
+    survive an upgrade write: flat files migrate to _v=000000 instead of
+    colliding with the new versioned dirs."""
+    import json
+    import os
+
+    from amp.checkpoint import CheckpointManager
+
+    root = str(tmp_path_factory.mktemp("legacy_ck"))
+    ck = CheckpointManager(spark, root, run_id=0)
+    # fabricate the legacy generation: flat partitioned write + manifest
+    # carrying the old digest-in-snapshot shape
+    spark.range(10).selectExpr("id", "0 AS run_id").write.mode("overwrite").partitionBy(
+        "run_id"
+    ).parquet(ck.table_path("nums"))
+    with open(ck._manifest_path("nums"), "w") as fh:
+        json.dump(
+            {"run_id": 0, "stage": "nums", "rows": 10, "snapshot": "ab12cd34ef56ab78"},
+            fh,
+        )
+    # (a) legacy resume: verify accepts, read takes the flat branch
+    assert ck.verify_snapshot("nums")
+    assert ck.current_snapshot("nums") is None
+    assert ck.read("nums").count() == 10
+    served = ck.stage("nums", lambda: (_ for _ in ()).throw(AssertionError("recompute")))
+    assert served.count() == 10
+    # (b) upgrade write: no partition-discovery collision, legacy data
+    # preserved as version 000000
+    ck.write(spark.range(25).selectExpr("id"), "nums")
+    assert ck.read("nums").count() == 25
+    assert ck.read("nums", snapshot="000000").count() == 10
+    flat_leftovers = [
+        n
+        for n in os.listdir(os.path.join(ck.table_path("nums"), "run_id=0"))
+        if not n.startswith("_v=")
+    ]
+    assert flat_leftovers == []

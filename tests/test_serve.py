@@ -126,7 +126,7 @@ def test_duplicates_cached_after_first_call(spark, small_corpus, service, monkey
         return real(*a, **kw)
 
     monkeypatch.setattr(P, "run_pipeline", counting)
-    service._dup_cache = None  # isolate from other tests
+    service._dup_df = None  # isolate from other tests
     a = service.duplicates(limit=50)
     b = service.duplicates(limit=50)
     assert a == b and len(a) > 0
