@@ -217,10 +217,13 @@ def ivf_topk(
     q_schema = f"query_id {dict(queries.dtypes)[id_col]}, qv array<double>, list_id int"
     c = (
         corpus.select(F.col(id_col).alias("corpus_id"), _as_double(vec_col).alias("cv"))
-        # NULL vectors must drop BEFORE the kernel (np.stack cannot mix a
-        # scalar nan with 1-d rows); the old expression path dropped them
-        # after assignment via the cn>0 guard — same rows survive
-        .where(F.col("cv").isNotNull())
+        # NULL and wrong-dim vectors must drop BEFORE the kernel:
+        # np.stack cannot mix a scalar nan with 1-d rows, and an empty
+        # or ragged array yields shape (n, 0) / raises inside the
+        # executor. The expression path dropped NULLs via the cn>0
+        # guard; the dim filter keeps the same fail-silent policy as
+        # brute_force_topk/lsh_topk for malformed vectors
+        .where(F.col("cv").isNotNull() & (F.size("cv") == dim))
         .mapInPandas(assign_fn, c_schema)
         .withColumn("cn", _norm("cv"))
         # zero-norm guard: NaN cosine ranks first in a desc window
@@ -228,7 +231,7 @@ def ivf_topk(
     )
     q = (
         queries.select(F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv"))
-        .where(F.col("qv").isNotNull())
+        .where(F.col("qv").isNotNull() & (F.size("qv") == dim))
         .mapInPandas(probe_fn, q_schema)
         .withColumn("qn", _norm("qv"))
         .where(F.col("qn") > 0)

@@ -33,6 +33,24 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+class ConcurrentWriteError(RuntimeError):
+    """Two writers raced on the same (run, stage): the loser's commit is
+    rejected instead of silently last-writer-winning — Iceberg's
+    optimistic-concurrency contract."""
+
+
+def _atomic_write_text(path: str, text: str) -> None:
+    """Crash-atomic metadata write: tmp file + fsync + os.replace — a
+    kill mid-write leaves either the old file or the new one, never a
+    truncated JSON body (Iceberg's atomic metadata-swap analog)."""
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "w") as fh:
+        fh.write(text)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, path)
+
+
 class CheckpointManager:
     def __init__(self, spark: SparkSession, root: str, run_id: int):
         self.spark = spark
@@ -45,8 +63,27 @@ class CheckpointManager:
     def _manifest_path(self, stage: str) -> str:
         return os.path.join(self.root, "_manifest", f"run{self.run_id}_{stage}.json")
 
+    def _load_manifest(self, stage: str) -> dict | None:
+        """Manifest row, or None when absent OR unparseable. A truncated
+        manifest (crash mid-write under the pre-atomic layout) must read
+        as NOT DONE so the stage recomputes, not crash json.load."""
+        p = self._manifest_path(stage)
+        if not os.path.exists(p):
+            return None
+        try:
+            with open(p) as fh:
+                return json.load(fh)
+        except (json.JSONDecodeError, OSError):
+            import logging
+
+            logging.getLogger("amp.checkpoint").warning(
+                "stage %s: manifest unreadable (torn write?) — treating as "
+                "not done; the stage will recompute", stage
+            )
+            return None
+
     def is_done(self, stage: str) -> bool:
-        return os.path.exists(self._manifest_path(stage))
+        return self._load_manifest(stage) is not None
 
     def manifest(self) -> list[dict]:
         out = []
@@ -54,8 +91,11 @@ class CheckpointManager:
         for f in sorted(os.listdir(d)):
             if not f.endswith(".json"):
                 continue  # .snapshots.jsonl logs live alongside
-            with open(os.path.join(d, f)) as fh:
-                out.append(json.load(fh))
+            try:
+                with open(os.path.join(d, f)) as fh:
+                    out.append(json.load(fh))
+            except (json.JSONDecodeError, OSError):
+                continue  # torn manifest == stage not done; skip the row
         return out
 
     # -- snapshots ----------------------------------------------------------
@@ -79,18 +119,37 @@ class CheckpointManager:
 
     def snapshots(self, stage: str) -> list[dict]:
         """Snapshot log, oldest first: one row per write of this stage
-        (version id, digest, rows, bytes, wall-clock timestamp)."""
+        (version id, digest, rows, bytes, wall-clock timestamp). A torn
+        FINAL line (crash mid-append) is skipped — its write never
+        committed a manifest, so dropping it is exactly the idempotent
+        retry path; a torn line anywhere else means real corruption and
+        raises."""
         p = self._snapshot_log_path(stage)
         if not os.path.exists(p):
             return []
         with open(p) as fh:
-            return [json.loads(line) for line in fh if line.strip()]
+            lines = [ln for ln in fh if ln.strip()]
+        out = []
+        for i, ln in enumerate(lines):
+            try:
+                out.append(json.loads(ln))
+            except json.JSONDecodeError:
+                if i == len(lines) - 1:
+                    import logging
+
+                    logging.getLogger("amp.checkpoint").warning(
+                        "stage %s: torn final snapshot-log line dropped "
+                        "(crash mid-append); the write it described never "
+                        "committed", stage
+                    )
+                    break
+                raise
+        return out
 
     def current_snapshot(self, stage: str) -> str | None:
-        if not self.is_done(stage):
+        row = self._load_manifest(stage)
+        if row is None:
             return None
-        with open(self._manifest_path(stage)) as fh:
-            row = json.load(fh)
         # a manifest carries a VERSION pointer only in the versioned
         # generation (marked by snapshot_digest). Older generations
         # stored None or the file-set digest in "snapshot" — treating
@@ -113,8 +172,9 @@ class CheckpointManager:
                 f"rollback: stage {stage} has no snapshot {snapshot!r}; "
                 f"known: {sorted(log)}"
             )
-        with open(self._manifest_path(stage)) as fh:
-            row = json.load(fh)
+        row = self._load_manifest(stage)
+        if row is None:
+            raise ValueError(f"rollback: stage {stage} has no manifest")
         entry = log[snapshot]
         # re-list the retained version's files: the manifest's explicit
         # file list must describe the version the pointer now names, and
@@ -134,8 +194,7 @@ class CheckpointManager:
             n_bytes=entry["n_bytes"],
             files=files if len(files) <= 64 else None,
         )
-        with open(self._manifest_path(stage), "w") as fh:
-            json.dump(row, fh)
+        _atomic_write_text(self._manifest_path(stage), json.dumps(row))
 
     def invalidate(self, stage: str) -> None:
         """Drop the stage's done-marker so the next stage() call
@@ -163,9 +222,14 @@ class CheckpointManager:
         for v in expired:
             shutil.rmtree(self._run_partition_dir(stage, v), ignore_errors=True)
         kept_rows = [s for s in log if s["snapshot"] in keep]
-        with open(self._snapshot_log_path(stage), "w") as fh:
-            for s in kept_rows:
-                fh.write(json.dumps(s) + "\n")
+        # atomic rewrite: a crash mid-truncate must not empty the log —
+        # the log is the sole source of truth for next-version-id
+        # derivation, and an emptied log would restart ids at 000001 and
+        # dynamic-overwrite still-live retained version data
+        _atomic_write_text(
+            self._snapshot_log_path(stage),
+            "".join(json.dumps(s) + "\n" for s in kept_rows),
+        )
         return expired
 
     def _snapshot_of(self, stage: str, version: str | None = None) -> tuple[str, list[dict]]:
@@ -200,10 +264,9 @@ class CheckpointManager:
         """Recompute the stage's file-set digest and compare with the
         manifest — False means the checkpoint was tampered with or
         partially lost and the stage must be recomputed, not resumed."""
-        if not self.is_done(stage):
+        recorded = self._load_manifest(stage)
+        if recorded is None:
             return False
-        with open(self._manifest_path(stage)) as fh:
-            recorded = json.load(fh)
         if "snapshot_digest" not in recorded:
             # legacy manifest written before snapshots existed: distinct
             # from tampering — accept it (the done-marker contract it
@@ -240,7 +303,8 @@ class CheckpointManager:
         # its own id and overwrites only its partial dir (idempotent
         # retry) because the max is unchanged.
         log = self.snapshots(stage)
-        next_id = max((int(s["snapshot"]) for s in log), default=0) + 1
+        parent_id = max((int(s["snapshot"]) for s in log), default=0)
+        next_id = parent_id + 1
         version = f"{next_id:06d}"
         if "run_id" not in df.columns:
             df = df.withColumn("run_id", F.lit(self.run_id))
@@ -264,38 +328,78 @@ class CheckpointManager:
         snap, files = self._snapshot_of(stage, version)
         entry = {
             "snapshot": version,
+            "parent": f"{parent_id:06d}" if parent_id else None,
             "digest": snap,
             "rows": rows,
             "n_files": len(files),
             "n_bytes": sum(f["bytes"] for f in files),
             "ts": time.time(),
         }
-        with open(self._snapshot_log_path(stage), "a") as fh:
-            fh.write(json.dumps(entry) + "\n")
-        with open(self._manifest_path(stage), "w") as fh:
-            json.dump(
-                {
-                    "run_id": self.run_id,
-                    "stage": stage,
-                    "rows": rows,
-                    "wall_sec": round(time.time() - t0, 3),
-                    "path": path,
-                    # Iceberg-shaped: ``snapshot`` is the CURRENT version
-                    # pointer; ``snapshot_digest`` pins that version's
-                    # data-file set (verify_snapshot checks it on
-                    # resume). The explicit file list is for small-table
-                    # inspection only — beyond 64 files the digest +
-                    # totals carry the contract without bloating every
-                    # manifest() load
-                    "snapshot": version,
-                    "snapshot_digest": snap,
-                    "n_files": len(files),
-                    "n_bytes": sum(f["bytes"] for f in files),
-                    "files": files if len(files) <= 64 else None,
-                },
-                fh,
-            )
+        manifest_row = {
+            "run_id": self.run_id,
+            "stage": stage,
+            "rows": rows,
+            "wall_sec": round(time.time() - t0, 3),
+            "path": path,
+            # Iceberg-shaped: ``snapshot`` is the CURRENT version
+            # pointer; ``snapshot_digest`` pins that version's
+            # data-file set (verify_snapshot checks it on
+            # resume). The explicit file list is for small-table
+            # inspection only — beyond 64 files the digest +
+            # totals carry the contract without bloating every
+            # manifest() load
+            "snapshot": version,
+            "snapshot_digest": snap,
+            "n_files": len(files),
+            "n_bytes": sum(f["bytes"] for f in files),
+            "files": files if len(files) <= 64 else None,
+        }
+        self._commit(stage, parent_id, entry, manifest_row)
         return back
+
+    def _commit(self, stage: str, parent_id: int, entry: dict, manifest_row: dict) -> None:
+        """Commit point of a stage write: append the snapshot-log row and
+        swap the manifest pointer, under optimistic concurrency — the
+        log's max id must still equal the parent this write was derived
+        from, else a second writer committed in between and THIS write
+        loses loudly (Iceberg's commit-conflict contract; last-writer-
+        wins silently corrupts the version chain). The check+append runs
+        under an flock'd lock file so the window is closed, not just
+        narrowed; the manifest swap itself is crash-atomic.
+
+        LIMITATION (documented): both racers may have targeted the same
+        _v=<id> data dir before either committed, so the loser's
+        dynamic-overwrite can have clobbered the winner's files. The
+        winner's committed digest then no longer matches and
+        verify_snapshot()/stage() detects the drift and RECOMPUTES —
+        correctness holds, at recompute cost. A real Iceberg catalog
+        avoids even the recompute via per-writer unique file names."""
+        import fcntl
+
+        lock_path = self._snapshot_log_path(stage) + ".lock"
+        with open(lock_path, "w") as lk:
+            fcntl.flock(lk, fcntl.LOCK_EX)
+            try:
+                cur = self.snapshots(stage)
+                cur_max = max((int(s["snapshot"]) for s in cur), default=0)
+                if cur_max != parent_id:
+                    raise ConcurrentWriteError(
+                        f"stage {stage}: snapshot log advanced to "
+                        f"{cur_max:06d} while this write expected parent "
+                        f"{parent_id:06d} — another writer committed first; "
+                        "re-read and retry"
+                    )
+                # rewrite-from-parsed-rows rather than raw append: under
+                # the lock this is equivalent, and it HEALS a torn tail
+                # (a raw append onto a torn line would concatenate into
+                # one mangled row and lose this commit)
+                _atomic_write_text(
+                    self._snapshot_log_path(stage),
+                    "".join(json.dumps(s) + "\n" for s in [*cur, entry]),
+                )
+                _atomic_write_text(self._manifest_path(stage), json.dumps(manifest_row))
+            finally:
+                fcntl.flock(lk, fcntl.LOCK_UN)
 
     def _migrate_legacy_layout(self, stage: str) -> None:
         """A pre-snapshot checkpoint laid files flat under run_id=<r>/;
@@ -326,6 +430,23 @@ class CheckpointManager:
         }
         with open(self._snapshot_log_path(stage), "a") as fh:
             fh.write(json.dumps(entry) + "\n")
+            fh.flush()
+            os.fsync(fh.fileno())
+        # upgrade the legacy manifest IN THE SAME STEP: a crash after the
+        # relocation but before the new versioned write would otherwise
+        # leave current_snapshot() == None, and read()'s flat branch
+        # would scan the migrated run_id=<r>/_v=000000 layout with an
+        # extra _v partition column (schema drift on resume)
+        row = self._load_manifest(stage)
+        if row is not None and "snapshot_digest" not in row:
+            row.update(
+                snapshot="000000",
+                snapshot_digest=snap,
+                n_files=len(files),
+                n_bytes=sum(f["bytes"] for f in files),
+                files=files if len(files) <= 64 else None,
+            )
+            _atomic_write_text(self._manifest_path(stage), json.dumps(row))
 
     def _read_version(self, stage: str, version: str) -> DataFrame:
         return (
@@ -339,10 +460,15 @@ class CheckpointManager:
         explicit older ``snapshot`` id (both partition-pruned)."""
         version = snapshot or self.current_snapshot(stage)
         if version is None:
-            # legacy layout (pre-snapshot manifests): flat run partition
-            return self.spark.read.parquet(self.table_path(stage)).where(
+            # legacy layout (pre-snapshot manifests): flat run partition.
+            # Defensive _v drop: if a crashed migration left the data
+            # relocated under _v=000000 but the manifest un-upgraded,
+            # partition discovery surfaces _v — dropping it restores the
+            # flat-read schema either way
+            df = self.spark.read.parquet(self.table_path(stage)).where(
                 F.col("run_id") == self.run_id
             )
+            return df.drop("_v") if "_v" in df.columns else df
         return self._read_version(stage, version)
 
     def stage(self, name: str, thunk) -> DataFrame:

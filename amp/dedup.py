@@ -249,6 +249,8 @@ def substring_contamination(
     sample_hex: str = "0",
     max_window_freq: int = 64,
     use_md5: bool = True,
+    eval_docs_hint: int | None = None,
+    broadcast_eval_max_docs: int = 100_000,
 ) -> DataFrame:
     """Cross-corpus form of ``substring_duplicates``: which TRAINING
     documents contain a >= ``window``-token span that also appears in
@@ -256,7 +258,16 @@ def substring_contamination(
     before training. Returns (train_id, eval_id, n_shared_windows).
     Same content-defined sampling and frequency cap; the join is
     train-windows x eval-windows only (never train x train), so the
-    eval side — tiny by definition — bounds the output."""
+    eval side bounds the output.
+
+    Join strategy: eval sets are USUALLY tiny, but not by contract —
+    an unconditional broadcast of the eval window table is a
+    driver/executor OOM lever when eval is a slice of the corpus. The
+    eval side broadcasts only when the caller supplies
+    ``eval_docs_hint`` (known eval doc count) at or below
+    ``broadcast_eval_max_docs``; otherwise the join shuffles on the
+    window key — the same size-gated policy as the scorer's
+    broadcast_sides_max_records gate."""
     tw = _sampled_windows(train, window, sample_hex, use_md5).withColumnRenamed(
         "doc_id", "train_id"
     )
@@ -271,8 +282,10 @@ def substring_contamination(
     tw = tw.withColumn("freq", F.count("*").over(W.partitionBy("whash"))).where(
         F.col("freq") <= max_window_freq
     )
+    if eval_docs_hint is not None and eval_docs_hint <= broadcast_eval_max_docs:
+        ew = F.broadcast(ew)
     return (
-        tw.join(F.broadcast(ew), "whash")
+        tw.join(ew, "whash")
         .groupBy("train_id", "eval_id")
         .agg(F.count("*").alias("n_shared_windows"))
     )

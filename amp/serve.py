@@ -42,6 +42,18 @@ class MatchService:
         self._run_seq = 0
         self._lock = threading.Lock()
         self._dup_df = None  # pinned clusters DataFrame, computed once
+        # separate COMPUTATION lock: the pipeline run takes seconds and
+        # must not serialize _next_run_id/match requests behind it; it
+        # exists so concurrent /duplicates callers run the pipeline once,
+        # not once each (double-checked inside the lock)
+        self._dup_compute_lock = threading.Lock()
+        # request counters surfaced by /metrics (reference middleware
+        # analog, pkg/api/middleware.go:41-48)
+        self.metrics: dict[str, int] = {
+            "match_requests": 0,
+            "duplicates_requests": 0,
+            "errors": 0,
+        }
 
     def _next_run_id(self) -> int:
         with self._lock:
@@ -98,22 +110,44 @@ class MatchService:
         the pipeline per unauthenticated request, and without ever
         collecting the full cluster table to the driver (one row per
         index record — GBs on a large index). ``refresh=True`` forces a
-        recompute (e.g. after swapping ``self.index``)."""
-        with self._lock:
-            df = None if refresh else self._dup_df
-        if df is None:
-            from .pipeline import run_pipeline
-
-            out = run_pipeline(
-                self.spark,
-                # records were normalized already; rebuild from raw shape
-                # is not needed — cluster the representatives' match graph
-                self._index_files_view(),
-                self.index.cfg,
-            )
-            df = out["clusters"].localCheckpoint(eager=True)
+        recompute (e.g. after swapping ``self.index``) — reachable over
+        HTTP via ``{"refresh": true}`` in the POST body; the previous
+        pinned DataFrame is unpersisted (no cache leak across
+        refreshes), and the pipeline run is guarded by a computation
+        lock so concurrent callers share one run instead of racing
+        duplicate pipelines."""
+        with self._dup_compute_lock:
             with self._lock:
-                self._dup_df = df
+                df = None if refresh else self._dup_df
+            if df is None:
+                from .pipeline import run_pipeline
+
+                out = run_pipeline(
+                    self.spark,
+                    # records were normalized already; rebuild from raw shape
+                    # is not needed — cluster the representatives' match graph
+                    self._index_files_view(),
+                    self.index.cfg,
+                )
+                # persist (not localCheckpoint): materialized once via
+                # count(), and unpersist() genuinely frees the old pin
+                # when a refresh swaps it out
+                df = out["clusters"].persist()
+                df.count()
+                # dropped-block counter (never drop silently): piggyback
+                # on the compute pass, surfaced via /metrics
+                from . import blocking as _blocking
+                from pyspark.sql import functions as F
+
+                n_dropped = (
+                    _blocking.dropped_blocks(out["block_stats"], self.index.cfg)
+                    .count()
+                )
+                with self._lock:
+                    old, self._dup_df = self._dup_df, df
+                    self.metrics["dropped_blocks"] = int(n_dropped)
+                if old is not None and old is not df:
+                    old.unpersist()
         return amp_io.results_json(df, limit=limit)
 
     def _index_files_view(self):
@@ -144,6 +178,24 @@ def make_handler(service: MatchService):
         def do_GET(self):
             if self.path == "/healthz":
                 self._send(200, {"status": "ok"})
+            elif self.path == "/metrics":
+                # request counters + checkpoint manifest (when the index
+                # was loaded from / saved to a checkpoint root) — the
+                # reference's timing middleware analog, wired
+                with service._lock:
+                    counters = dict(service.metrics)
+                payload = {"counters": counters}
+                root = getattr(service, "checkpoint_root", None)
+                if root:
+                    try:
+                        from .checkpoint import CheckpointManager
+
+                        payload["manifest"] = CheckpointManager(
+                            service.spark, root, run_id=0
+                        ).manifest()
+                    except OSError:
+                        payload["manifest"] = []
+                self._send(200, payload)
             else:
                 self._send(404, {"error": "not found"})
 
@@ -168,28 +220,77 @@ def make_handler(service: MatchService):
                 return
             try:
                 if self.path == "/api/v1/match":
+                    with service._lock:
+                        service.metrics["match_requests"] += 1
                     if isinstance(payload, list):
                         self._send(200, {"matches": service.match_batch(payload)})
                     else:
                         self._send(200, {"matches": service.match_single(payload)})
                 elif self.path == "/api/v1/duplicates":
-                    self._send(200, {"clusters": service.duplicates()})
+                    with service._lock:
+                        service.metrics["duplicates_requests"] += 1
+                    # body options: {"limit": N, "refresh": true} — refresh
+                    # is how an operator invalidates the pinned cluster
+                    # table after swapping the service's index
+                    opts = payload if isinstance(payload, dict) else {}
+                    limit = int(opts.get("limit", 1000))
+                    refresh = bool(opts.get("refresh", False))
+                    self._send(
+                        200,
+                        {"clusters": service.duplicates(limit=limit, refresh=refresh)},
+                    )
                 else:
                     self._send(404, {"error": "not found"})
             except ValueError as e:
+                with service._lock:
+                    service.metrics["errors"] += 1
                 self._send(400, {"error": str(e)})
             except Exception as e:  # noqa: BLE001 — a failed Spark job
                 # must come back as a 500 body, not a dropped socket
+                with service._lock:
+                    service.metrics["errors"] += 1
                 self._send(500, {"error": f"{type(e).__name__}: {e}"})
 
     return Handler
 
 
-def serve(service: MatchService, port: int = 0) -> HTTPServer:
+class PooledHTTPServer(HTTPServer):
+    """Concurrent front door with a BOUNDED worker pool: each request is
+    handled on a pool thread (stdlib ThreadingHTTPServer spawns one
+    unbounded thread per connection — a trivial resource-exhaustion
+    lever). Spark drivers are thread-safe for concurrent job submission,
+    so parallel match requests genuinely overlap."""
+
+    def __init__(self, addr, handler_cls, max_workers: int = 8):
+        from concurrent.futures import ThreadPoolExecutor
+
+        super().__init__(addr, handler_cls)
+        self._pool = ThreadPoolExecutor(
+            max_workers=max_workers, thread_name_prefix="amp-http"
+        )
+
+    def process_request(self, request, client_address):
+        self._pool.submit(self._work, request, client_address)
+
+    def _work(self, request, client_address):
+        try:
+            self.finish_request(request, client_address)
+        except Exception:  # noqa: BLE001 — per-connection failure only
+            self.handle_error(request, client_address)
+        finally:
+            self.shutdown_request(request)
+
+    def server_close(self):
+        super().server_close()
+        self._pool.shutdown(wait=False)
+
+
+def serve(service: MatchService, port: int = 0, max_workers: int = 8) -> HTTPServer:
     """Start the HTTP front door on a daemon thread; returns the server
     (server.server_address[1] is the bound port; port=0 picks a free
-    one). Call .shutdown() to stop."""
-    httpd = HTTPServer(("127.0.0.1", port), make_handler(service))
+    one). Call .shutdown() to stop. Requests are served concurrently by
+    a bounded pool of ``max_workers`` threads."""
+    httpd = PooledHTTPServer(("127.0.0.1", port), make_handler(service), max_workers)
     t = threading.Thread(target=httpd.serve_forever, daemon=True)
     t.start()
     return httpd

@@ -134,3 +134,100 @@ def test_duplicates_cached_after_first_call(spark, small_corpus, service, monkey
     # refresh recomputes
     c = service.duplicates(limit=50, refresh=True)
     assert calls["n"] == 2 and c == a
+
+
+def test_duplicates_refresh_reachable_over_http_and_metrics(
+    spark, small_corpus, service, monkeypatch
+):
+    """The refresh knob must be reachable from the HTTP handler (a
+    swapped index would otherwise serve stale clusters forever), and
+    /metrics surfaces request counters + the dropped-block count."""
+    import amp.pipeline as P
+    from amp.serve import serve
+
+    calls = {"n": 0}
+    real = P.run_pipeline
+
+    def counting(*a, **kw):
+        calls["n"] += 1
+        return real(*a, **kw)
+
+    monkeypatch.setattr(P, "run_pipeline", counting)
+    service._dup_df = None
+    httpd = serve(service, port=0)
+    try:
+        port = httpd.server_address[1]
+
+        def post(body: dict):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/api/v1/duplicates",
+                data=json.dumps(body).encode(),
+                method="POST",
+            )
+            with urllib.request.urlopen(req) as r:
+                return json.load(r)["clusters"]
+
+        a = post({"limit": 30})
+        assert calls["n"] == 1 and len(a) == 30
+        b = post({"limit": 30})
+        assert calls["n"] == 1 and b == a  # cached
+        c = post({"limit": 30, "refresh": True})
+        assert calls["n"] == 2 and c == a  # recomputed over HTTP
+
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/metrics") as r:
+            m = json.load(r)
+        assert m["counters"]["duplicates_requests"] >= 3
+        assert "dropped_blocks" in m["counters"]
+    finally:
+        httpd.shutdown()
+
+
+def test_concurrent_requests_share_one_pipeline_run(
+    spark, small_corpus, service, monkeypatch
+):
+    """Bounded-pool server: N parallel /duplicates requests all succeed
+    and the pipeline runs ONCE (computation lock), not once per caller."""
+    import threading
+
+    import amp.pipeline as P
+    from amp.serve import serve
+
+    calls = {"n": 0}
+    real = P.run_pipeline
+    lock = threading.Lock()
+
+    def counting(*a, **kw):
+        with lock:
+            calls["n"] += 1
+        return real(*a, **kw)
+
+    monkeypatch.setattr(P, "run_pipeline", counting)
+    service._dup_df = None
+    httpd = serve(service, port=0, max_workers=4)
+    try:
+        port = httpd.server_address[1]
+        results, errors = [], []
+
+        def hit():
+            try:
+                req = urllib.request.Request(
+                    f"http://127.0.0.1:{port}/api/v1/duplicates",
+                    data=json.dumps({"limit": 20}).encode(),
+                    method="POST",
+                )
+                with urllib.request.urlopen(req, timeout=300) as r:
+                    results.append(json.load(r)["clusters"])
+            except Exception as e:  # noqa: BLE001
+                errors.append(e)
+
+        threads = [threading.Thread(target=hit) for _ in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert not errors, errors
+        assert len(results) == 4
+        assert all(r == results[0] for r in results)
+        assert calls["n"] == 1, "concurrent callers must share one pipeline run"
+    finally:
+        httpd.shutdown()
