@@ -173,8 +173,67 @@ def candidate_pairs(
 ) -> DataFrame:
     """Blocks -> distinct candidate pairs (left_id < right_id).
 
-    Pair generation is an equi-self-join per block key. Three size
-    regimes, chosen per key from broadcast block stats:
+    Two shapes, chosen by the frequency cap:
+
+      cap <= grouped_pairgen_max_block (default): ONE groupBy shuffle
+        collects each block's (capped, deduplicated) member array and a
+        codegen'd lambda explodes the ordered pairs in place — pair
+        output per block is bounded by cap^2/2, so no task ever owns
+        unbounded work and the salt machinery is unnecessary. This
+        replaces the window + salted self-join shape (3 shuffles of the
+        blocks table) with one shuffle + the final pair dedup.
+
+      cap > grouped_pairgen_max_block: the salted equi-self-join
+        (_candidate_pairs_salted) — with a loose cap a single block's
+        m^2/2 pair generation is real work and must be SPLIT across
+        tasks, which only the replicate-one-side salt can do.
+
+    Both shapes produce the identical distinct pair set (asserted in
+    tests). Cap semantics in the grouped shape count DISTINCT member
+    ids per key (collect_set), which is the intended meaning; the
+    window shape counted raw rows — identical unless a pass emits the
+    same (record, key) twice, which none does.
+    """
+    if cfg.max_block_size <= cfg.grouped_pairgen_max_block:
+        return _candidate_pairs_grouped(blocks, cfg)
+    return _candidate_pairs_salted(blocks, cfg, stats)
+
+
+def _candidate_pairs_grouped(blocks: DataFrame, cfg: AmpConfig) -> DataFrame:
+    grouped = (
+        blocks.groupBy("block_key")
+        .agg(F.array_sort(F.collect_set("record_id")).alias("ids"))
+        .where((F.size("ids") > 1) & (F.size("ids") <= cfg.max_block_size))
+    )
+    # ordered pairs from the sorted member array: x pairs with every
+    # strictly-later element, so left < right holds by construction.
+    # All codegen'd expressions — no Python, no second shuffle.
+    pairs = grouped.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ids, (x, i) -> "
+                "transform(slice(ids, i + 2, size(ids)), "
+                "y -> struct(x AS left_id, y AS right_id))))"
+            )
+        ).alias("p")
+    ).select("p.left_id", "p.right_id")
+    # explicit partition count on the dedup shuffle: pair ROWS are tiny
+    # (~80 B) but each costs real Python-kernel work downstream, so
+    # AQE's byte-based coalesce would serialize the scorer onto one
+    # task; groupBy on the repartition keys reuses this exchange
+    return pairs.repartition(
+        cfg.shuffle_partitions, "left_id", "right_id"
+    ).dropDuplicates(["left_id", "right_id"])
+
+
+def _candidate_pairs_salted(
+    blocks: DataFrame,
+    cfg: AmpConfig,
+    stats: DataFrame | None = None,
+) -> DataFrame:
+    """Salted equi-self-join pair generation (the loose-cap shape).
+
+    Three size regimes, per key:
       m <= salt_block_size      : plain equi-join (AQE handles residue)
       salt < m <= max_block_size: salted — right side carries
           salt = hash(id) mod s, left side is replicated s times with a

@@ -68,9 +68,17 @@ def _driver_union_find(e: DataFrame) -> DataFrame:
     """Small-graph fast path: collect edges (Arrow) and run union-find
     with path compression on the driver. Same output contract as the
     distributed loop (cluster_id = min member id)."""
+    pdf = e.toPandas()
+    return _union_find_pdf(pdf, e.sparkSession, e.schema["u"].dataType.simpleString())
+
+
+def _union_find_pdf(pdf, spark, id_type: str, stats_out: dict | None = None) -> DataFrame:
+    """Union-find over an already-collected edge frame. ``stats_out``
+    (when given) receives driver-known aggregates — edge count, node
+    count, distinct root count — so callers can report cluster metrics
+    WITHOUT a separate Spark aggregation job over the assignment table."""
     import pandas as pd
 
-    pdf = e.toPandas()
     parent: dict[str, str] = {}
 
     def find(x: str) -> str:
@@ -90,11 +98,16 @@ def _driver_union_find(e: DataFrame) -> DataFrame:
             lo, hi = (ru, rv) if ru < rv else (rv, ru)
             parent[hi] = lo  # min-id root -> deterministic cluster ids
     rows = sorted((x, find(x)) for x in nodes)
-    spark = e.sparkSession
+    if stats_out is not None:
+        stats_out.update(
+            driver_path=True,
+            n_edges=len(pdf),
+            n_edge_nodes=len(nodes),
+            n_edge_roots=len({r for _, r in rows}),
+        )
     if not rows:
         # schema follows the edge id type (string record_ids in the ER
         # pipeline, int64 doc_ids in the documents-table queries)
-        id_type = e.schema["u"].dataType.simpleString()
         return spark.createDataFrame(
             [], f"record_id {id_type}, cluster_id {id_type}"
         )
@@ -108,6 +121,7 @@ def connected_components(
     all_nodes: DataFrame | None = None,
     cfg: AmpConfig = DEFAULT_CONFIG,
     nodes_unique: bool = False,
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """edges(left_id, right_id) -> (record_id, cluster_id).
 
@@ -124,25 +138,45 @@ def connected_components(
     above it, the alternating large-star/small-star loop — the only
     shape that survives 10^12-file match graphs — takes over. Both
     paths produce identical assignments (asserted in tests).
+
+    ``stats_out`` (optional dict) is filled with driver-known aggregates
+    when the union-find path runs (n_edges, n_edge_nodes, n_edge_roots)
+    — enough for callers to derive the final cluster count WITHOUT a
+    separate countDistinct job over the assignment table.
+
+    The size probe and the small-graph collect are ONE action: a
+    limit(cutoff + 1) collect either returns the complete edge set
+    (<= cutoff rows -> union-find) or proves the graph is big. The old
+    shape (localCheckpoint + count + toPandas) spent three driver
+    round-trips on what is constant-cost work at any corpus size. The
+    big-graph path re-derives the canonical edges with a pin for the
+    star loop — one extra pass, paid only on graphs that then run 15+
+    shuffle stages anyway.
     """
-    # Materialize the canonical edge set ONCE before the size probe:
-    # both the probe (count) and the chosen path (toPandas collect or
-    # the star loop) consume it, and without the checkpoint each action
-    # re-executes the full upstream threshold/union plan.
-    e0 = _canon(edges).localCheckpoint(eager=True)
-    if cfg.cc_driver_cutoff > 0 and e0.count() <= cfg.cc_driver_cutoff:
-        assign = _driver_union_find(e0)
-        if all_nodes is not None:
-            nodes = all_nodes.select("record_id")
-            if not nodes_unique:
-                nodes = nodes.distinct()
-            assign = (
-                nodes.join(assign, "record_id", "left")
-                .withColumn(
-                    "cluster_id", F.coalesce("cluster_id", F.col("record_id"))
-                )
+    if cfg.cc_driver_cutoff > 0:
+        cand = _canon(edges).limit(cfg.cc_driver_cutoff + 1).toPandas()
+        if len(cand) <= cfg.cc_driver_cutoff:
+            assign = _union_find_pdf(
+                cand,
+                edges.sparkSession,
+                edges.schema["left_id"].dataType.simpleString(),
+                stats_out=stats_out,
             )
-        return assign
+            if all_nodes is not None:
+                nodes = all_nodes.select("record_id")
+                if not nodes_unique:
+                    nodes = nodes.distinct()
+                assign = (
+                    nodes.join(assign, "record_id", "left")
+                    .withColumn(
+                        "cluster_id", F.coalesce("cluster_id", F.col("record_id"))
+                    )
+                )
+            return assign
+
+    # Materialize the canonical edge set ONCE for the star loop (every
+    # iteration + the signature action re-reads it).
+    e0 = _canon(edges).localCheckpoint(eager=True)
 
     # Eager materialization per iteration: each round adds ~4 shuffles of
     # lineage, and _signature() is an action — without cutting lineage the

@@ -22,6 +22,13 @@ class AmpConfig:
     max_block_size: int = 64        # frequency cap: blocks larger than this are
                                     # dropped from pair generation (counted, never silent)
     salt_block_size: int = 16       # blocks above this get salted sub-pairing
+                                    # (salted-join shape only; see next knob)
+    grouped_pairgen_max_block: int = 256
+                                    # cap at or below this: pair generation is ONE
+                                    # groupBy + in-place pair explode (per-block
+                                    # work bounded by cap^2/2 — no salt needed);
+                                    # above: the salted self-join, which can SPLIT
+                                    # a hot block's m^2/2 output across tasks
 
     # ---- features ----
     idf_smoothing: bool = False     # reference parity: idf = ln(N/df), unsmoothed

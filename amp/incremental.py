@@ -108,6 +108,7 @@ def build_index(
     files: DataFrame,
     cfg: AmpConfig = DEFAULT_CONFIG,
     embeddings: DataFrame | None = None,
+    idf_override: dict[int, float] | None = None,
 ) -> MatchIndex:
     """Offline bootstrap of the candidate space (reference main.go:92-173):
     normalize -> representatives -> IDF dict -> one-pass features.
@@ -115,7 +116,10 @@ def build_index(
     same semantics as the reference, which computes IDF over run 0 only
     (make_tf_idf.go:75-168) and weighs query tokens with it.
     ``embeddings`` ingests precomputed semantic vectors
-    (scoring.attach_embeddings)."""
+    (scoring.attach_embeddings). ``idf_override`` skips the IDF
+    computation and featurizes with the given dictionary — the
+    fresh-build equivalence point for append_records' frozen-IDF policy
+    (and the bring-your-own-IDF hook for cross-corpus scoring)."""
     records = normalize.normalize(files, cfg, run_id=0).localCheckpoint(eager=True)
     # probe AFTER the checkpoint (see run_pipeline: avoids re-running
     # the normalize kernel for a one-column uniqueness count); the probe
@@ -125,7 +129,11 @@ def build_index(
         records = normalize.dedupe_full(records).localCheckpoint(eager=True)
         _, _, n_contents = normalize.uniqueness_stats(records)
     reps = normalize.representatives(records).localCheckpoint(eager=True)
-    idf = features.idf_map(reps, n_contents, cfg)
+    idf = (
+        idf_override
+        if idf_override is not None
+        else features.idf_map(reps, n_contents, cfg)
+    )
     sides = scoring.side_features_onepass(reps, idf, cfg)
     if embeddings is not None:
         sides = scoring.attach_embeddings(
@@ -134,6 +142,100 @@ def build_index(
     sides = sides.localCheckpoint(eager=True)
     return MatchIndex(
         records, sides, idf, cfg, uses_provided_embeddings=embeddings is not None
+    )
+
+
+def append_records(
+    index: MatchIndex,
+    files: DataFrame,
+    policy: str = "frozen",
+    embeddings: DataFrame | None = None,
+) -> MatchIndex:
+    """Incremental run-0 extension — the reference's periodic resync
+    (cmd/addressmatchpro/main.go:73-90, S3) WITHOUT the full rebuild:
+    only the appended records are normalized and featurized; existing
+    feature rows are reused.
+
+    IDF policy (explicit, because the trade-off is real):
+      * ``frozen`` (default): new records are weighted with the index's
+        EXISTING IDF dictionary. Incremental cost — one normalize pass
+        over the new files, one feature pass over the new
+        representatives, a thin winner-id recompute. Drift trade-off:
+        tokens introduced by the appended batch score 0 (absent from
+        the dictionary), and document frequencies do not shift — scores
+        equal a fresh ``build_index(all_files, idf_override=old_idf)``
+        EXACTLY (tested), but diverge from a fresh build's own IDF as
+        the appended fraction grows. Re-freeze periodically.
+      * ``refresh``: recompute the IDF over the union and re-featurize
+        every representative — near-rebuild cost (normalize of old
+        records is still skipped), zero drift.
+
+    Representative swaps are handled exactly: if an appended record's id
+    undercuts the current representative of an existing content, the old
+    side row is dropped and the new winner featurized — the resulting
+    side table is one row per distinct content keyed by the GLOBAL min
+    record id, byte-equal to a fresh build's.
+    """
+    if policy not in ("frozen", "refresh"):
+        raise ValueError(f"append_records: unknown policy {policy!r}")
+    cfg = index.cfg
+    if index.uses_provided_embeddings and embeddings is None:
+        raise ValueError(
+            "append_records: the index holds provided embeddings; pass "
+            "embeddings for the appended records (same model/dim)"
+        )
+    new_records = normalize.normalize(files, cfg, run_id=0).localCheckpoint(
+        eager=True
+    )
+    records = index.records.select(*new_records.columns).unionByName(new_records)
+    n_rows, n_ids, n_contents = normalize.uniqueness_stats(records)
+    if n_ids != n_rows:
+        # appending a record_id that already exists is an upsert, which
+        # this path does not implement — fail loudly (the reference's
+        # resync truncates and reloads, shared.go:244-256)
+        raise ValueError(
+            f"append_records: {n_rows - n_ids} appended record_ids collide "
+            "with existing ones — append is insert-only; rebuild the index "
+            "for upserts"
+        )
+    records = records.localCheckpoint(eager=True)
+    winners = normalize.winner_ids(records).localCheckpoint(eager=True)
+    reps = normalize.representatives_from_winners(records, winners)
+
+    if policy == "refresh":
+        idf = features.idf_map(reps, n_contents, cfg)
+        sides = scoring.side_features_onepass(reps, idf, cfg)
+        if index.uses_provided_embeddings:
+            old_vecs = index.sides.select("record_id", "embedding")
+            all_vecs = old_vecs.unionByName(
+                embeddings.select(
+                    F.col(embeddings.columns[0]).alias("record_id"),
+                    F.col(embeddings.columns[1]).alias("embedding"),
+                )
+            )
+            sides = scoring.attach_embeddings(
+                sides, all_vecs, expected_ids=reps.select("record_id")
+            )
+    else:
+        idf = index.idf
+        # featurize ONLY representatives not already in the side table
+        # (new contents, plus existing contents whose rep swapped to an
+        # appended lower id); keep the still-valid old rows
+        old_ids = index.sides.select("record_id")
+        new_reps = reps.join(old_ids, "record_id", "left_anti")
+        add_sides = scoring.side_features_onepass(new_reps, idf, cfg)
+        if index.uses_provided_embeddings:
+            add_sides = scoring.attach_embeddings(
+                add_sides, embeddings, expected_ids=new_reps.select("record_id")
+            )
+        keep_old = index.sides.join(
+            reps.select("record_id"), "record_id", "leftsemi"
+        )
+        sides = keep_old.select(*add_sides.columns).unionByName(add_sides)
+    sides = sides.localCheckpoint(eager=True)
+    return MatchIndex(
+        records, sides, idf, cfg,
+        uses_provided_embeddings=index.uses_provided_embeddings,
     )
 
 

@@ -42,8 +42,35 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("payload_sha", T.StringType(), False),
         T.StructField("n_bytes", T.LongType(), False),
         T.StructField("feature", T.ArrayType(T.FloatType()), True),
+        # decode outcome AS DATA (never a per-row raise at corpus scale):
+        #   real        — an actual decoder produced the grid
+        #   fake        — deterministic content-derived stand-in used
+        #   corrupt     — payload claimed a known format but failed to
+        #                 decode (feature NULL unless fakes allowed)
+        #   unsupported — format outside the available decode ladder
+        #                 (feature NULL unless fakes allowed)
+        T.StructField("decode_status", T.StringType(), False),
+        T.StructField("fmt", T.StringType(), False),
     ]
 )
+
+# magic-byte format sniffing (public file signatures)
+_MAGIC = (
+    (b"\x89PNG\r\n\x1a\n", "png"),
+    (b"\xff\xd8\xff", "jpeg"),
+    (b"GIF87a", "gif"),
+    (b"GIF89a", "gif"),
+    (b"BM", "bmp"),
+)
+
+
+def sniff_format(payload: bytes) -> str:
+    for magic, name in _MAGIC:
+        if payload.startswith(magic):
+            return name
+    if len(payload) >= 12 and payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        return "webp"
+    return "unknown"
 
 
 def _fake_decode_allowed() -> bool:
@@ -220,38 +247,64 @@ def _resize8(gray: np.ndarray) -> np.ndarray:
     return out
 
 
-def _decode_image(payload: bytes, allow_fake: bool = True) -> np.ndarray:
-    """Decode a payload to a normalized 8x8 float grayscale grid.
+def _fake_grid(payload: bytes) -> np.ndarray:
+    h = hashlib.sha256(payload or b"").digest()
+    grid = np.frombuffer((h * 2)[:64], dtype=np.uint8).reshape(8, 8)
+    return grid.astype(np.float32) / 255.0
+
+
+def _decode_image_status(
+    payload: bytes, allow_fake: bool = True
+) -> tuple[np.ndarray | None, str, str]:
+    """Decode a payload to a normalized 8x8 float grayscale grid,
+    returning (grid_or_None, decode_status, fmt) — the outcome is DATA,
+    never an exception (a corrupt or exotic payload must not kill a
+    100-TB pass; see FEATURE_SCHEMA for the status enum).
 
     Decode ladder:
-      1. Pillow (any format) when importable;
+      1. Pillow (any format it knows) when importable;
       2. the pure-stdlib PNG codec above (real decode, no dependency);
-      3. the deterministic content-derived fake when allowed (a corrupt
-         payload must not kill a 100-TB pass), else re-raise /
-         NotImplementedError for non-PNG formats."""
+      3. the deterministic content-derived fake when allowed, else a
+         NULL feature with status corrupt/unsupported."""
+    raw = payload or b""
+    fmt = sniff_format(raw)
     if HAVE_PIL:
         import io as _io
 
         try:
-            img = _PILImage.open(_io.BytesIO(payload or b"")).convert("L").resize((8, 8))
-            return np.asarray(img, dtype=np.float32) / 255.0
+            img = _PILImage.open(_io.BytesIO(raw)).convert("L").resize((8, 8))
+            return np.asarray(img, dtype=np.float32) / 255.0, "real", fmt
         except Exception:
-            if not allow_fake:
-                raise
-    elif (payload or b"").startswith(_PNG_SIG):
+            status = "corrupt" if fmt != "unknown" else "unsupported"
+            if allow_fake:
+                return _fake_grid(raw), "fake", fmt
+            return None, status, fmt
+    if fmt == "png":
         try:
-            return _resize8(png_decode(payload))
+            return _resize8(png_decode(raw)), "real", fmt
         except Exception:  # zlib.error / ValueError / truncation
-            if not allow_fake:
-                raise
-    elif not allow_fake:
+            if allow_fake:
+                return _fake_grid(raw), "fake", fmt
+            return None, "corrupt", fmt
+    # no real decoder for this format in the current ladder
+    if allow_fake:
+        return _fake_grid(raw), "fake", fmt
+    return None, "unsupported", fmt
+
+
+def _decode_image(payload: bytes, allow_fake: bool = True) -> np.ndarray:
+    """Back-compat wrapper: grid only; raises where the status path
+    would have emitted a NULL feature (kept for direct-call sites and
+    tests that exercise the raise behavior explicitly)."""
+    grid, status, fmt = _decode_image_status(payload, allow_fake)
+    if grid is not None:
+        return grid
+    if status == "unsupported":
         raise NotImplementedError(
-            "real decode for non-PNG formats requires PIL — not "
-            "installed; set AMP_FAKE_DECODE=1 for the deterministic fake"
+            f"real decode for {fmt!r} requires PIL — not installed; "
+            "set AMP_FAKE_DECODE=1 for the deterministic fake"
         )
-    h = hashlib.sha256(payload or b"").digest()
-    grid = np.frombuffer((h * 2)[:64], dtype=np.uint8).reshape(8, 8)
-    return grid.astype(np.float32) / 255.0
+    raise ValueError(f"corrupt {fmt} payload")
 
 
 def extract_features(media: DataFrame, feat_dim: int = 16) -> DataFrame:
@@ -266,26 +319,39 @@ def extract_features(media: DataFrame, feat_dim: int = 16) -> DataFrame:
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats, shas, sizes = [], [], []
+            feats, shas, sizes, statuses, fmts = [], [], [], [], []
             for payload in pdf["payload"]:
                 raw = bytes(payload) if payload is not None else b""
                 shas.append(hashlib.sha256(raw).hexdigest())
                 sizes.append(len(raw))
-                grid = _decode_image(raw, allow_fake)
-                # fake "feature extraction": row/col means, resized to feat_dim
-                v = np.concatenate([grid.mean(axis=0), grid.mean(axis=1)])
-                v = np.resize(v, feat_dim).astype(np.float32)
-                feats.append(v)
+                grid, status, fmt = _decode_image_status(raw, allow_fake)
+                statuses.append(status)
+                fmts.append(fmt)
+                if grid is None:
+                    feats.append(None)
+                else:
+                    # fake "feature extraction": row/col means -> feat_dim
+                    v = np.concatenate([grid.mean(axis=0), grid.mean(axis=1)])
+                    feats.append(np.resize(v, feat_dim).astype(np.float32))
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "payload_sha": shas,
                     "n_bytes": np.array(sizes, dtype=np.int64),
                     "feature": feats,
+                    "decode_status": statuses,
+                    "fmt": fmts,
                 }
             )
 
     return media.select("media_id", "payload").mapInPandas(fn, FEATURE_SCHEMA)
+
+
+def decode_metrics(features: DataFrame) -> DataFrame:
+    """Counted decode-outcome table (status, fmt, n) — the never-silent
+    surface for a mixed-format corpus: how many rows decoded for real,
+    how many fell back, how many are opaque to the current ladder."""
+    return features.groupBy("decode_status", "fmt").agg(F.count("*").alias("n"))
 
 
 def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:

@@ -229,19 +229,36 @@ def representatives(records: DataFrame) -> DataFrame:
     shuffle at all; at 10^12 files the semi join degrades gracefully
     to a sort-merge on record_id — never worse than the window.
     """
-    winners = records.groupBy("content_sha").agg(
-        F.min("record_id").alias("record_id")
-    )
-    # semi-join on BOTH columns: record_id alone would let a row leak
-    # through whenever record_ids collide across rows (duplicate
-    # (repo,path,commit) ingests) — the one-row-per-content invariant
-    # must not depend on record_id uniqueness.
-    # PRECONDITION: records is unique on record_id (identical ingested
-    # copies of one row would all survive the semi-join). The pipeline
-    # enforces this with dedupe_records() below — a cheap pruned-column
-    # probe, falling back to a deterministic full dedup only when
-    # duplicates actually exist.
-    return records.join(winners, ["content_sha", "record_id"], "leftsemi")
+    return representatives_from_winners(records, winner_ids(records), broadcast=False)
+
+
+def winner_ids(records: DataFrame) -> DataFrame:
+    """(content_sha, record_id) winner table: min record_id per distinct
+    content — two pruned columns, record-count-sized. Pin THIS (not the
+    fat reps rows) when consumers can afford to re-run the semi-join."""
+    return records.groupBy("content_sha").agg(F.min("record_id").alias("record_id"))
+
+
+def representatives_from_winners(
+    records: DataFrame, winners: DataFrame, broadcast: bool = False
+) -> DataFrame:
+    """reps as a semi-join of records against a (possibly pre-pinned)
+    winner-id table. ``broadcast=True`` forces the hint for the
+    small-corpus shape (winner table known to fit); the default leaves
+    the strategy to AQE (broadcast at modest scale, sort-merge at 10^12
+    files — never worse than the window-over-fat-rows alternative).
+
+    Semi-join on BOTH columns: record_id alone would let a row leak
+    through whenever record_ids collide across rows (duplicate
+    (repo,path,commit) ingests) — the one-row-per-content invariant
+    must not depend on record_id uniqueness.
+    PRECONDITION: records is unique on record_id (identical ingested
+    copies of one row would all survive the semi-join). The pipeline
+    enforces this with dedupe_records() — a cheap pruned-column probe,
+    falling back to a deterministic full dedup only when duplicates
+    actually exist."""
+    w = F.broadcast(winners) if broadcast else winners
+    return records.join(w, ["content_sha", "record_id"], "leftsemi")
 
 
 def uniqueness_stats(records: DataFrame) -> tuple[int, int, int]:
@@ -298,15 +315,26 @@ def dedupe_records(records: DataFrame) -> DataFrame:
     return dedupe_full(records)
 
 
-def exact_edges(records: DataFrame) -> DataFrame:
+def exact_edges(records: DataFrame, winners: DataFrame | None = None) -> DataFrame:
     """Star edges inside each exact-duplicate group: (member -> min id).
 
     m identical files contribute m-1 edges, not m^2/2 pairs — the
     connected-components stage absorbs them transitively. Replaces the
     reference's self-match-everything `/duplicates` semantics
     (pkg/api/handler.go:82-102) with a linear-cost equivalent.
-    """
-    grp = records.groupBy("content_sha").agg(F.min("record_id").alias("canon_id"))
+
+    ``winners`` (the pinned winner_ids table, when the caller already
+    built one) IS the per-content min-id aggregate — passing it skips
+    recomputing that groupBy shuffle inside whatever action first
+    consumes the edges."""
+    if winners is not None:
+        grp = winners.select(
+            "content_sha", F.col("record_id").alias("canon_id")
+        )
+    else:
+        grp = records.groupBy("content_sha").agg(
+            F.min("record_id").alias("canon_id")
+        )
     return (
         records.select("record_id", "content_sha")
         .join(grp, "content_sha")

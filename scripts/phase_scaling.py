@@ -62,11 +62,24 @@ def run_phases(cpus: int, n_base: int) -> dict:
         "uniqueness_probe", lambda: normalize.uniqueness_stats(records)
     )
     assert n_rows == n_ids, "scaling corpus has unique ids by construction"
-    reps = timed(
-        "reps+pin",
-        lambda: normalize.representatives(records).localCheckpoint(eager=True),
-    )
-    ex_edges = normalize.exact_edges(records)
+    # mirror run_pipeline's gate: small corpora pin only the thin winner
+    # table (reps stays a lazy broadcast semi-join); large corpora pin
+    # the fat reps rows (a corpus-sized winner table can't broadcast)
+    winners = None
+    if n_rows <= cfg.broadcast_sides_max_records:
+        def _reps():
+            nonlocal winners
+            winners = normalize.winner_ids(records).localCheckpoint(eager=True)
+            return normalize.representatives_from_winners(
+                records, winners, broadcast=True
+            )
+        reps = timed("reps+pin", _reps)
+    else:
+        reps = timed(
+            "reps+pin",
+            lambda: normalize.representatives(records).localCheckpoint(eager=True),
+        )
+    ex_edges = normalize.exact_edges(records, winners=winners)
 
     def _sides():
         idf = idf_map(reps, n_contents, cfg)
@@ -84,6 +97,8 @@ def run_phases(cpus: int, n_base: int) -> dict:
 
     scored = timed("pairs+joins+score+pin", _score)
 
+    cc_stats: dict = {}
+
     def _cc():
         edges = (
             rank.threshold_edges(scored, cfg)
@@ -91,16 +106,23 @@ def run_phases(cpus: int, n_base: int) -> dict:
             .unionByName(ex_edges.select("left_id", "right_id", "pass_name"))
         )
         return cluster.connected_components(
-            edges, all_nodes=records.select("record_id"), cfg=cfg, nodes_unique=True
+            edges, all_nodes=records.select("record_id"), cfg=cfg,
+            nodes_unique=True, stats_out=cc_stats,
         )
 
     clusters = timed("edges+cc", _cc)
 
     def _counts():
-        return (
-            scored.count(),
-            clusters.agg(F.countDistinct("cluster_id")).collect()[0][0],
-        )
+        n_pairs = scored.count()
+        # materialize the cluster table end-to-end (noop sink), but take
+        # the cluster count from the union-find aggregates when the
+        # driver path ran (mirrors bench.run_er_pipeline)
+        clusters.write.format("noop").mode("overwrite").save()
+        if cc_stats.get("driver_path"):
+            n_cl = cc_stats["n_edge_roots"] + (n_rows - cc_stats["n_edge_nodes"])
+        else:
+            n_cl = clusters.agg(F.countDistinct("cluster_id")).collect()[0][0]
+        return n_pairs, n_cl
 
     n_pairs, n_clusters = timed("counts", _counts)
     total = round(sum(t.values()), 2)

@@ -84,6 +84,47 @@ def test_jaro_winkler_matches_duckdb(a, b):
     assert got == pytest.approx(want, abs=1e-12)
 
 
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.text(alphabet="abcdefgh_0123.", min_size=0, max_size=14),
+            st.text(alphabet="abcdefgh_0123.", min_size=0, max_size=14),
+        ),
+        min_size=0,
+        max_size=40,
+    )
+)
+def test_stem_sims_batch_bit_exact_vs_scalar(pairs):
+    """The batch-vectorized scorer kernel must reproduce the scalar
+    jaro_winkler/levenshtein BIT-FOR-BIT (same IEEE operation order) —
+    it replaces them in the hot path, and the oracle hash comparison
+    tolerates zero drift."""
+    from amp.scoring import levenshtein, stem_sims_batch
+
+    ls = [a for a, _ in pairs]
+    rs = [b for _, b in pairs]
+    jw_b, lev_b = stem_sims_batch(ls, rs)
+    for i, (a, b) in enumerate(pairs):
+        assert jw_b[i] == jaro_winkler(a, b), (a, b)
+        m = max(len(a), len(b), 1)
+        assert lev_b[i] == 1.0 - levenshtein(a, b) / m, (a, b)
+
+
+def test_stem_sims_batch_known_values_and_duplicates():
+    from amp.scoring import stem_sims_batch
+
+    ls = ["martha", "dixon", "", "utils", "utils", None]
+    rs = ["marhta", "dicksonx", "abc", "utils", "util", "x"]
+    jw, lev = stem_sims_batch(ls, rs)
+    assert jw[0] == pytest.approx(0.9611111111111111, abs=1e-12)
+    assert jw[1] == pytest.approx(0.8133333333333332, abs=1e-12)
+    assert jw[2] == 0.0 and lev[2] == 0.0
+    assert jw[3] == 1.0 and lev[3] == 1.0
+    assert lev[4] == pytest.approx(1.0 - 1 / 5)
+    assert jw[5] == 0.0  # None coerced to ""
+
+
 def test_embeddings_unit_norm_and_deterministic(spark):
     reps = spark.createDataFrame(
         [("r1", "def foo bar"), ("r2", "def foo bar"), ("r3", "")],

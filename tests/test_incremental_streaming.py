@@ -40,6 +40,80 @@ def test_match_batch_topk_bounded(spark, small_corpus, index):
     assert per_query <= 3
 
 
+def _split_files(files):
+    """Deterministic disjoint split of the corpus into (base, appended)."""
+    base = files.where(F.crc32(F.col("path")) % 5 != 0)
+    extra = files.where(F.crc32(F.col("path")) % 5 == 0)
+    return base, extra
+
+
+def test_append_records_frozen_idf_equals_fresh_frozen_build(spark, small_corpus):
+    """MatchIndex.append contract (reference run-0 resync,
+    cmd/addressmatchpro/main.go:73-90, without the full rebuild): under
+    the frozen-IDF policy the appended index's records + side features
+    must equal a fresh build over the union WITH THE SAME dictionary —
+    including representative swaps where an appended record id undercuts
+    an existing content's representative."""
+    from amp.incremental import append_records
+
+    files, _ = small_corpus
+    base, extra = _split_files(files)
+    assert extra.count() > 0 and base.count() > 0
+    idx0 = build_index(base, CFG)
+    appended = append_records(idx0, extra, policy="frozen")
+    fresh = build_index(files, CFG, idf_override=idx0.idf)
+
+    assert appended.records.count() == fresh.records.count()
+    a_sides = {r["record_id"]: r for r in appended.sides.collect()}
+    f_sides = {r["record_id"]: r for r in fresh.sides.collect()}
+    assert set(a_sides) == set(f_sides)
+    for rid, fr in f_sides.items():
+        ar = a_sides[rid]
+        assert ar["tfblob"] == fr["tfblob"], rid
+        assert list(ar["sig"]) == list(fr["sig"]), rid
+        assert list(ar["embedding"]) == list(fr["embedding"]), rid
+    assert appended.idf == idx0.idf  # frozen, by identity of contract
+
+
+def test_append_then_match_finds_new_record(spark, small_corpus):
+    from amp.incremental import append_records
+
+    files, _ = small_corpus
+    base, extra = _split_files(files)
+    idx0 = build_index(base, CFG)
+    idx1 = append_records(idx0, extra, policy="frozen")
+
+    one = extra.limit(1).collect()[0]
+    q = amp_io.single_record(
+        spark, "query/repo", "query/" + one["path"], "f" * 40, one["lang"],
+        one["content"],
+    )
+    out = match_records(idx1, q, run_id=9, top_n=5).collect()
+    assert out, "appended record must be findable"
+    best = min(out, key=lambda r: r["rank"])
+    assert best["rank"] == 1 and best["score"] > 0.9
+
+    # frozen scores == fresh-frozen-build scores for the same query
+    fresh = build_index(files, CFG, idf_override=idx0.idf)
+    out_f = match_records(fresh, q, run_id=9, top_n=5).collect()
+    got = {(r["candidate_id"]): r["score"] for r in out}
+    want = {(r["candidate_id"]): r["score"] for r in out_f}
+    assert got == want
+
+
+def test_append_refresh_policy_recomputes_idf(spark, small_corpus):
+    from amp.incremental import append_records
+
+    files, _ = small_corpus
+    base, extra = _split_files(files)
+    idx0 = build_index(base, CFG)
+    idx1 = append_records(idx0, extra, policy="refresh")
+    fresh = build_index(files, CFG)
+    assert idx1.idf == fresh.idf  # zero drift under refresh
+    with pytest.raises(ValueError, match="insert-only"):
+        append_records(idx1, extra)  # same ids again -> loud failure
+
+
 def test_streaming_ingest_normalizes_like_batch(spark, small_corpus, tmp_path_factory):
     from amp import normalize, streaming
 

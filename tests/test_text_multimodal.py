@@ -63,6 +63,65 @@ def test_multimodal_feature_shapes(spark):
     assert sorted(map(str, feats)) == sorted(map(str, again))
 
 
+def test_decode_status_mixed_corpus_counted_never_raises(spark, monkeypatch):
+    """Format policy as DATA (magic-byte sniff + per-row decode_status +
+    counted metrics) over a mixed PNG / corrupt-PNG / JPEG-stub /
+    garbage corpus with fakes DISALLOWED: nothing raises, statuses and
+    feature nullability are exact, and decode_metrics counts match."""
+    import numpy as np
+
+    from amp import multimodal as mm
+
+    monkeypatch.setenv("AMP_FAKE_DECODE", "0")
+    good_png = mm.png_encode(
+        np.arange(64, dtype=np.uint8).reshape(8, 8), filter_type=2
+    )
+    rows = [
+        ("ok0", good_png),
+        ("ok1", mm.png_encode(np.zeros((4, 4), np.uint8))),
+        ("corrupt0", good_png[: len(good_png) // 2]),      # torn PNG
+        ("jpeg0", b"\xff\xd8\xff\xe0" + b"\x00" * 32),     # JPEG stub
+        ("webp0", b"RIFF\x00\x00\x00\x00WEBPVP8 "),        # WebP stub
+        ("junk0", b"not an image at all"),
+    ]
+    media = spark.createDataFrame(
+        [
+            {"media_id": k, "kind": "image", "mime": None, "payload": p,
+             "width": None, "height": None, "duration_ms": None}
+            for k, p in rows
+        ],
+        schema=mm.MEDIA_SCHEMA,
+    )
+    feats = {r["media_id"]: r for r in mm.extract_features(media).collect()}
+    if mm.HAVE_PIL:  # ladder differs with Pillow present; core contract same
+        assert feats["ok0"]["decode_status"] == "real"
+        assert feats["corrupt0"]["decode_status"] == "corrupt"
+    else:
+        assert feats["ok0"]["decode_status"] == "real" and feats["ok0"]["fmt"] == "png"
+        assert feats["ok1"]["decode_status"] == "real"
+        assert feats["corrupt0"]["decode_status"] == "corrupt"
+        assert feats["corrupt0"]["feature"] is None
+        assert feats["jpeg0"]["decode_status"] == "unsupported"
+        assert feats["jpeg0"]["fmt"] == "jpeg"
+        assert feats["webp0"]["fmt"] == "webp"
+        assert feats["junk0"]["decode_status"] == "unsupported"
+        assert feats["junk0"]["fmt"] == "unknown"
+        m = {
+            (r["decode_status"], r["fmt"]): r["n"]
+            for r in mm.decode_metrics(mm.extract_features(media)).collect()
+        }
+        assert m[("real", "png")] == 2 and m[("corrupt", "png")] == 1
+        assert m[("unsupported", "jpeg")] == 1
+        assert m[("unsupported", "webp")] == 1
+        assert m[("unsupported", "unknown")] == 1
+
+    # with fakes allowed every row gets a feature and a fake/real status
+    monkeypatch.setenv("AMP_FAKE_DECODE", "1")
+    feats2 = mm.extract_features(media).collect()
+    assert all(r["feature"] is not None for r in feats2)
+    assert {r["decode_status"] for r in feats2} <= {"real", "fake"}
+
+
 def test_frame_sample_row_counts(spark):
     media = synth_media(spark, 12)
     fs = frame_sample(media, every_ms=1000)
