@@ -144,39 +144,36 @@ def connected_components(
     — enough for callers to derive the final cluster count WITHOUT a
     separate countDistinct job over the assignment table.
 
-    The size probe and the small-graph collect are ONE action: a
-    limit(cutoff + 1) collect either returns the complete edge set
-    (<= cutoff rows -> union-find) or proves the graph is big. The old
-    shape (localCheckpoint + count + toPandas) spent three driver
-    round-trips on what is constant-cost work at any corpus size. The
-    big-graph path re-derives the canonical edges with a pin for the
-    star loop — one extra pass, paid only on graphs that then run 15+
-    shuffle stages anyway.
+    Plan shape note (measured, round 4): a single-action
+    limit(cutoff+1).toPandas() probe was tried here and REVERTED — on
+    graphs above the first collect wave Spark's incremental limit
+    re-executed the upstream distinct scan per wave (two full passes
+    over the pinned pair table at 1.4M records, +150s wall). The
+    materialize-probe-collect shape below scans the edge plan exactly
+    once at every size; its extra driver round-trips are pinned-table
+    reads costing ~0.3s total.
     """
-    if cfg.cc_driver_cutoff > 0:
-        cand = _canon(edges).limit(cfg.cc_driver_cutoff + 1).toPandas()
-        if len(cand) <= cfg.cc_driver_cutoff:
-            assign = _union_find_pdf(
-                cand,
-                edges.sparkSession,
-                edges.schema["left_id"].dataType.simpleString(),
-                stats_out=stats_out,
-            )
-            if all_nodes is not None:
-                nodes = all_nodes.select("record_id")
-                if not nodes_unique:
-                    nodes = nodes.distinct()
-                assign = (
-                    nodes.join(assign, "record_id", "left")
-                    .withColumn(
-                        "cluster_id", F.coalesce("cluster_id", F.col("record_id"))
-                    )
-                )
-            return assign
-
-    # Materialize the canonical edge set ONCE for the star loop (every
-    # iteration + the signature action re-reads it).
+    # Materialize the canonical edge set ONCE: the size probe, the
+    # small-graph collect, and the star loop all consume it.
     e0 = _canon(edges).localCheckpoint(eager=True)
+    if cfg.cc_driver_cutoff > 0 and e0.count() <= cfg.cc_driver_cutoff:
+        assign = _union_find_pdf(
+            e0.toPandas(),
+            edges.sparkSession,
+            edges.schema["left_id"].dataType.simpleString(),
+            stats_out=stats_out,
+        )
+        if all_nodes is not None:
+            nodes = all_nodes.select("record_id")
+            if not nodes_unique:
+                nodes = nodes.distinct()
+            assign = (
+                nodes.join(assign, "record_id", "left")
+                .withColumn(
+                    "cluster_id", F.coalesce("cluster_id", F.col("record_id"))
+                )
+            )
+        return assign
 
     # Eager materialization per iteration: each round adds ~4 shuffles of
     # lineage, and _signature() is an action — without cutting lineage the

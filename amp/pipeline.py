@@ -85,15 +85,17 @@ def run_pipeline(
             winners = f_winners.result()
         if n_ids != n_rows:
             # dirty input (rare): winners were derived from the
-            # pre-dedup rows — recompute everything off the deduped pin
+            # pre-dedup rows — recompute everything off the deduped pin.
+            # Re-probe ALL counts: n_rows feeds metrics + the cluster
+            # arithmetic below, not just the gate.
             records = pin(normalize.dedupe_full(records))
-            _, _, n_contents = normalize.uniqueness_stats(records)
+            n_rows, n_ids, n_contents = normalize.uniqueness_stats(records)
             winners = pin(normalize.winner_ids(records))
     else:
         n_rows, n_ids, n_contents = normalize.uniqueness_stats(records)
         if n_ids != n_rows:
             records = normalize.dedupe_full(records)
-            _, _, n_contents = normalize.uniqueness_stats(records)
+            n_rows, n_ids, n_contents = normalize.uniqueness_stats(records)
 
     if ck is not None:
         reps = stage("reps", lambda: normalize.representatives(records))

@@ -49,15 +49,6 @@ def get_spark(
         # nested-loop product; keep the broadcast threshold modest and
         # let AQE upgrade when runtime stats allow
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
-        # limit-collects (the CC size probe, existence checks) scan all
-        # partitions in ONE job instead of the default incremental
-        # 1-4-16... partition waves — each wave is a sequential driver
-        # round-trip, and the probes here expect to consume most rows
-        # anyway (measured: the CC probe drops 1.4s -> ~0.4s)
-        .config(
-            "spark.sql.limit.initialNumPartitions",
-            str(max(64, shuffle_partitions)),
-        )
         # local-mode corpora are tens of MB in a handful of files; the
         # default 128MB split packs the whole scan into 1-2 tasks and
         # serializes every narrow stage. 4MB splits restore scan

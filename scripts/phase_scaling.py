@@ -58,26 +58,38 @@ def run_phases(cpus: int, n_base: int) -> dict:
         "normalize+pin",
         lambda: normalize.normalize(files, cfg).localCheckpoint(eager=True),
     )
-    n_rows, n_ids, n_contents = timed(
-        "uniqueness_probe", lambda: normalize.uniqueness_stats(records)
+
+    # mirror run_pipeline exactly: the uniqueness probe and the thin
+    # winner-id pin run as CONCURRENT driver actions over the pin
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _probe_and_winners():
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_probe = pool.submit(normalize.uniqueness_stats, records)
+            f_winners = pool.submit(
+                lambda: normalize.winner_ids(records).localCheckpoint(eager=True)
+            )
+            return f_probe.result(), f_winners.result()
+
+    (n_rows, n_ids, n_contents), winners = timed(
+        "uniqueness_probe", _probe_and_winners
     )
     assert n_rows == n_ids, "scaling corpus has unique ids by construction"
-    # mirror run_pipeline's gate: small corpora pin only the thin winner
-    # table (reps stays a lazy broadcast semi-join); large corpora pin
-    # the fat reps rows (a corpus-sized winner table can't broadcast)
-    winners = None
+    # run_pipeline's gate: small corpora leave reps as a lazy broadcast
+    # semi-join; large corpora pin the fat reps rows
     if n_rows <= cfg.broadcast_sides_max_records:
-        def _reps():
-            nonlocal winners
-            winners = normalize.winner_ids(records).localCheckpoint(eager=True)
-            return normalize.representatives_from_winners(
+        reps = timed(
+            "reps+pin",
+            lambda: normalize.representatives_from_winners(
                 records, winners, broadcast=True
-            )
-        reps = timed("reps+pin", _reps)
+            ),
+        )
     else:
         reps = timed(
             "reps+pin",
-            lambda: normalize.representatives(records).localCheckpoint(eager=True),
+            lambda: normalize.representatives_from_winners(
+                records, winners
+            ).localCheckpoint(eager=True),
         )
     ex_edges = normalize.exact_edges(records, winners=winners)
 

@@ -22,6 +22,39 @@ def test_f1_gate(spark, small_corpus, pipeline_out):
     assert m["precision"] >= 0.99 and m["recall"] >= 0.99, m
 
 
+def test_driver_metrics_match_aggregated_counts(spark, small_corpus, pipeline_out):
+    """out['metrics'] (driver-known counts from the probe + union-find)
+    must equal the Spark-aggregated truth — these feed bench counters
+    and the CLI summary instead of separate aggregation jobs."""
+    m = pipeline_out["metrics"]
+    assert m["n_records"] == pipeline_out["records"].count()
+    assert (
+        m["n_clusters"]
+        == pipeline_out["clusters"].agg(F.countDistinct("cluster_id")).collect()[0][0]
+    )
+
+
+def test_dirty_input_metrics_use_post_dedup_counts(spark, small_corpus):
+    """Duplicate record_ids in the ingested batch (same (repo, path,
+    commit) twice): the pipeline dedupes AND the driver metrics must
+    reflect the POST-dedup row count — a pre-dedup n_records would also
+    corrupt the cluster arithmetic."""
+    from amp.pipeline import run_pipeline
+
+    files, _ = small_corpus
+    sample = files.limit(40)
+    doubled = sample.unionByName(sample)  # every id duplicated
+    out = run_pipeline(spark, doubled)
+    m = out["metrics"]
+    true_records = out["records"].count()
+    assert true_records == 40
+    assert m["n_records"] == true_records
+    assert (
+        m["n_clusters"]
+        == out["clusters"].agg(F.countDistinct("cluster_id")).collect()[0][0]
+    )
+
+
 def test_per_class_recall(spark, small_corpus, pipeline_out):
     """Each corruption class must be fully recalled, and the negative
     class (boilerplate near-miss) fully rejected."""
