@@ -145,11 +145,19 @@ def df_partials(reps: DataFrame) -> DataFrame:
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         acc: dict[int, int] = {}
+        # per-worker hash memos: the corpus vocabulary repeats across
+        # documents, so each token/trigram is crc32'd once per partition
+        # (pure caching, bit-identical counts)
+        tok_memo: dict[str, int] = {}
+        tri_memo: dict[str, int] = {}
         for pdf in batches:
             for text, base in zip(pdf["norm_text"], pdf["basename"]):
                 toks = set(text.split()) if text else set()
                 for t in toks:
-                    h = zlib.crc32(b"c:" + t.encode())
+                    h = tok_memo.get(t)
+                    if h is None:
+                        h = zlib.crc32(b"c:" + t.encode())
+                        tok_memo[t] = h
                     acc[h] = acc.get(h, 0) + 1
                 tris = (
                     {base}
@@ -157,7 +165,10 @@ def df_partials(reps: DataFrame) -> DataFrame:
                     else {base[i : i + 3] for i in range(len(base) - 2)}
                 )
                 for t in tris:
-                    h = zlib.crc32(b"p:" + t.encode())
+                    h = tri_memo.get(t)
+                    if h is None:
+                        h = zlib.crc32(b"p:" + t.encode())
+                        tri_memo[t] = h
                     acc[h] = acc.get(h, 0) + 1
         yield pd.DataFrame(
             {

@@ -190,6 +190,28 @@ def side_features_onepass(
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         idf_local = idf_b.value
+        # Per-worker token memo: a code corpus reuses its vocabulary
+        # across documents, so the crc32 pair + idf lookup per token is
+        # computed once per PARTITION instead of once per occurrence
+        # (bit-identical values; pure caching). Bounded by the
+        # partition's vocabulary — the same driver-bounded quantity as
+        # the broadcast idf dict itself.
+        tok_memo: dict[str, tuple[int, float, int, float]] = {}
+
+        def tok_info(t: str) -> tuple[int, float, int, float]:
+            v = tok_memo.get(t)
+            if v is None:
+                th = zlib.crc32(b"c:" + t.encode())
+                he = zlib.crc32(t.encode())
+                v = (
+                    th,
+                    idf_local.get(th, 0.0),
+                    he % dim,
+                    1.0 if (he >> 16) & 1 else -1.0,
+                )
+                tok_memo[t] = v
+            return v
+
         for pdf in batches:
             out = {c: [] for c in ("sig", "embedding", "tfblob")}
             for text in pdf["norm_text"]:
@@ -212,11 +234,10 @@ def side_features_onepass(
                 hashes = np.empty(len(c), dtype=np.int64)
                 weights = np.empty(len(c), dtype=np.float64)
                 for i, (t, cnt) in enumerate(c.items()):
-                    th = zlib.crc32(b"c:" + t.encode())
+                    th, idf_v, e_idx, e_sign = tok_info(t)
                     hashes[i] = th
-                    weights[i] = (cnt / n) * idf_local.get(th, 0.0)
-                    he = zlib.crc32(t.encode())
-                    emb[he % dim] += 1.0 if (he >> 16) & 1 else -1.0
+                    weights[i] = (cnt / n) * idf_v
+                    emb[e_idx] += e_sign
                 enorm = float(np.linalg.norm(emb))
                 if enorm > 0:
                     emb /= enorm
