@@ -483,10 +483,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # reproduce it; train docs sharing a >=16-token span with any eval doc
     def q_contamination(spark, sf_dir):
         d = _docs(spark, sf_dir)
+        ev = d.where(F.col("doc_id") % 20 == 0)
         return dedup.substring_contamination(
             d.where(F.col("doc_id") % 20 != 0),
-            d.where(F.col("doc_id") % 20 == 0),
+            ev,
             window=16,
+            # the broadcast gate wants a known eval size; one count of
+            # the 5% slice keeps the eval window table map-side joined
+            eval_docs_hint=ev.count(),
         )
 
     q["dedup_contamination"] = q_contamination

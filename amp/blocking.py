@@ -200,8 +200,27 @@ def candidate_pairs(
 
 
 def _candidate_pairs_grouped(blocks: DataFrame, cfg: AmpConfig) -> DataFrame:
+    # Hot-key guard BEFORE the collect: a degenerate key (a band every
+    # record shares, a stem like "index" across millions of repos) would
+    # otherwise build its full member array in one non-spillable
+    # aggregation buffer just to be discarded by the size filter. The
+    # guard is a count window over block_key INSIDE the same exchange:
+    # WindowExec buffers rows in a SPILLABLE buffer (a 10^8-member key
+    # spills to disk and is then filtered, never OOMs an aggregation
+    # buffer), the filter drops hot keys before any array is built, and
+    # the groupBy below reuses the window's hash partitioning — still
+    # exactly ONE shuffle of the blocks table, no extra pass or job.
+    # Row count == distinct count here because no pass emits the same
+    # (record, key) twice (asserted by the salted twin's equality test);
+    # the post-collect size filter stays as the authoritative gate.
+    from pyspark.sql import Window
+
     grouped = (
-        blocks.groupBy("block_key")
+        blocks.withColumn(
+            "m", F.count("*").over(Window.partitionBy("block_key"))
+        )
+        .where(F.col("m") <= cfg.max_block_size)
+        .groupBy("block_key")
         .agg(F.array_sort(F.collect_set("record_id")).alias("ids"))
         .where((F.size("ids") > 1) & (F.size("ids") <= cfg.max_block_size))
     )

@@ -52,12 +52,39 @@ def _atomic_write_text(path: str, text: str) -> None:
 
 
 class CheckpointManager:
+    """All snapshot-log mutations (_commit, expire_snapshots, rollback,
+    the legacy-layout migration) serialize on one flock per stage —
+    without it, an expire that read the log before a concurrent commit
+    could rewrite the log WITHOUT the new row, after which the next
+    write derives max(log)+1, reuses the live version id, and
+    dynamic-overwrites its data files."""
+
     def __init__(self, spark: SparkSession, root: str, run_id: int):
         self.spark = spark
         self.root = root
         self.run_id = run_id
         os.makedirs(os.path.join(root, "_manifest"), exist_ok=True)
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    def _stage_lock(self, stage: str):
+        """Exclusive flock guarding the stage's snapshot log + manifest
+        pointer. Every mutator takes it; readers stay lock-free (they
+        tolerate either side of an atomic os.replace)."""
+        from contextlib import contextmanager
+
+        @contextmanager
+        def _lock():
+            import fcntl
+
+            lock_path = self._snapshot_log_path(stage) + ".lock"
+            with open(lock_path, "w") as lk:
+                fcntl.flock(lk, fcntl.LOCK_EX)
+                try:
+                    yield
+                finally:
+                    fcntl.flock(lk, fcntl.LOCK_UN)
+
+        return _lock()
 
     # -- manifest ----------------------------------------------------------
     def _manifest_path(self, stage: str) -> str:
@@ -166,35 +193,38 @@ class CheckpointManager:
         of the newer version keep their manifests — call
         ``invalidate(downstream_stage)`` for each to force recompute, as
         a catalog-level rollback would."""
-        log = {s["snapshot"]: s for s in self.snapshots(stage)}
-        if snapshot not in log:
-            raise ValueError(
-                f"rollback: stage {stage} has no snapshot {snapshot!r}; "
-                f"known: {sorted(log)}"
+        with self._stage_lock(stage):
+            log = {s["snapshot"]: s for s in self.snapshots(stage)}
+            if snapshot not in log:
+                raise ValueError(
+                    f"rollback: stage {stage} has no snapshot {snapshot!r}; "
+                    f"known: {sorted(log)}"
+                )
+            row = self._load_manifest(stage)
+            if row is None:
+                raise ValueError(f"rollback: stage {stage} has no manifest")
+            entry = log[snapshot]
+            # re-list the retained version's files: the manifest's
+            # explicit file list must describe the version the pointer
+            # now names, and a digest mismatch here means the "retained"
+            # files were lost — fail loudly rather than roll back to a
+            # hole
+            snap, files = self._snapshot_of(stage, snapshot)
+            if snap != entry["digest"]:
+                raise ValueError(
+                    f"rollback: snapshot {snapshot!r} of stage {stage} no "
+                    f"longer matches its logged digest (files lost or "
+                    f"tampered)"
+                )
+            row.update(
+                snapshot=snapshot,
+                snapshot_digest=entry["digest"],
+                rows=entry["rows"],
+                n_files=entry["n_files"],
+                n_bytes=entry["n_bytes"],
+                files=files if len(files) <= 64 else None,
             )
-        row = self._load_manifest(stage)
-        if row is None:
-            raise ValueError(f"rollback: stage {stage} has no manifest")
-        entry = log[snapshot]
-        # re-list the retained version's files: the manifest's explicit
-        # file list must describe the version the pointer now names, and
-        # a digest mismatch here means the "retained" files were lost —
-        # fail loudly rather than roll back to a hole
-        snap, files = self._snapshot_of(stage, snapshot)
-        if snap != entry["digest"]:
-            raise ValueError(
-                f"rollback: snapshot {snapshot!r} of stage {stage} no longer "
-                f"matches its logged digest (files lost or tampered)"
-            )
-        row.update(
-            snapshot=snapshot,
-            snapshot_digest=entry["digest"],
-            rows=entry["rows"],
-            n_files=entry["n_files"],
-            n_bytes=entry["n_bytes"],
-            files=files if len(files) <= 64 else None,
-        )
-        _atomic_write_text(self._manifest_path(stage), json.dumps(row))
+            _atomic_write_text(self._manifest_path(stage), json.dumps(row))
 
     def invalidate(self, stage: str) -> None:
         """Drop the stage's done-marker so the next stage() call
@@ -211,25 +241,32 @@ class CheckpointManager:
         Returns expired version ids."""
         import shutil
 
-        log = self.snapshots(stage)
-        current = self.current_snapshot(stage)
-        keep = {current} if current else set()
-        for s in reversed(log):  # newest first
-            if len(keep) >= keep_last:
-                break
-            keep.add(s["snapshot"])
-        expired = [s["snapshot"] for s in log if s["snapshot"] not in keep]
+        # log read + rewrite under the stage lock: expire racing a
+        # concurrent _commit would otherwise rewrite the log from a
+        # pre-commit read and erase the just-committed row. Metadata
+        # first, data second (Iceberg's order): a crash between the two
+        # leaves orphaned data dirs — garbage, never a dangling pointer.
+        with self._stage_lock(stage):
+            log = self.snapshots(stage)
+            current = self.current_snapshot(stage)
+            keep = {current} if current else set()
+            for s in reversed(log):  # newest first
+                if len(keep) >= keep_last:
+                    break
+                keep.add(s["snapshot"])
+            expired = [s["snapshot"] for s in log if s["snapshot"] not in keep]
+            kept_rows = [s for s in log if s["snapshot"] in keep]
+            # atomic rewrite: a crash mid-truncate must not empty the
+            # log — the log is the sole source of truth for
+            # next-version-id derivation, and an emptied log would
+            # restart ids at 000001 and dynamic-overwrite still-live
+            # retained version data
+            _atomic_write_text(
+                self._snapshot_log_path(stage),
+                "".join(json.dumps(s) + "\n" for s in kept_rows),
+            )
         for v in expired:
             shutil.rmtree(self._run_partition_dir(stage, v), ignore_errors=True)
-        kept_rows = [s for s in log if s["snapshot"] in keep]
-        # atomic rewrite: a crash mid-truncate must not empty the log —
-        # the log is the sole source of truth for next-version-id
-        # derivation, and an emptied log would restart ids at 000001 and
-        # dynamic-overwrite still-live retained version data
-        _atomic_write_text(
-            self._snapshot_log_path(stage),
-            "".join(json.dumps(s) + "\n" for s in kept_rows),
-        )
         return expired
 
     def _snapshot_of(self, stage: str, version: str | None = None) -> tuple[str, list[dict]]:
@@ -374,32 +411,25 @@ class CheckpointManager:
         verify_snapshot()/stage() detects the drift and RECOMPUTES —
         correctness holds, at recompute cost. A real Iceberg catalog
         avoids even the recompute via per-writer unique file names."""
-        import fcntl
-
-        lock_path = self._snapshot_log_path(stage) + ".lock"
-        with open(lock_path, "w") as lk:
-            fcntl.flock(lk, fcntl.LOCK_EX)
-            try:
-                cur = self.snapshots(stage)
-                cur_max = max((int(s["snapshot"]) for s in cur), default=0)
-                if cur_max != parent_id:
-                    raise ConcurrentWriteError(
-                        f"stage {stage}: snapshot log advanced to "
-                        f"{cur_max:06d} while this write expected parent "
-                        f"{parent_id:06d} — another writer committed first; "
-                        "re-read and retry"
-                    )
-                # rewrite-from-parsed-rows rather than raw append: under
-                # the lock this is equivalent, and it HEALS a torn tail
-                # (a raw append onto a torn line would concatenate into
-                # one mangled row and lose this commit)
-                _atomic_write_text(
-                    self._snapshot_log_path(stage),
-                    "".join(json.dumps(s) + "\n" for s in [*cur, entry]),
+        with self._stage_lock(stage):
+            cur = self.snapshots(stage)
+            cur_max = max((int(s["snapshot"]) for s in cur), default=0)
+            if cur_max != parent_id:
+                raise ConcurrentWriteError(
+                    f"stage {stage}: snapshot log advanced to "
+                    f"{cur_max:06d} while this write expected parent "
+                    f"{parent_id:06d} — another writer committed first; "
+                    "re-read and retry"
                 )
-                _atomic_write_text(self._manifest_path(stage), json.dumps(manifest_row))
-            finally:
-                fcntl.flock(lk, fcntl.LOCK_UN)
+            # rewrite-from-parsed-rows rather than raw append: under
+            # the lock this is equivalent, and it HEALS a torn tail
+            # (a raw append onto a torn line would concatenate into
+            # one mangled row and lose this commit)
+            _atomic_write_text(
+                self._snapshot_log_path(stage),
+                "".join(json.dumps(s) + "\n" for s in [*cur, entry]),
+            )
+            _atomic_write_text(self._manifest_path(stage), json.dumps(manifest_row))
 
     def _migrate_legacy_layout(self, stage: str) -> None:
         """A pre-snapshot checkpoint laid files flat under run_id=<r>/;
@@ -411,42 +441,45 @@ class CheckpointManager:
         base = self._run_partition_dir(stage)
         if not os.path.isdir(base):
             return
-        flat = [n for n in os.listdir(base) if not n.startswith("_v=")]
-        if not flat:
-            return
-        legacy_dir = self._run_partition_dir(stage, "000000")
-        os.makedirs(legacy_dir, exist_ok=True)
-        for n in flat:
-            os.rename(os.path.join(base, n), os.path.join(legacy_dir, n))
-        snap, files = self._snapshot_of(stage, "000000")
-        entry = {
-            "snapshot": "000000",
-            "digest": snap,
-            "rows": None,  # unknown without a scan; the digest pins the files
-            "n_files": len(files),
-            "n_bytes": sum(f["bytes"] for f in files),
-            "ts": time.time(),
-            "migrated_legacy": True,
-        }
-        with open(self._snapshot_log_path(stage), "a") as fh:
-            fh.write(json.dumps(entry) + "\n")
-            fh.flush()
-            os.fsync(fh.fileno())
-        # upgrade the legacy manifest IN THE SAME STEP: a crash after the
-        # relocation but before the new versioned write would otherwise
-        # leave current_snapshot() == None, and read()'s flat branch
-        # would scan the migrated run_id=<r>/_v=000000 layout with an
-        # extra _v partition column (schema drift on resume)
-        row = self._load_manifest(stage)
-        if row is not None and "snapshot_digest" not in row:
-            row.update(
-                snapshot="000000",
-                snapshot_digest=snap,
-                n_files=len(files),
-                n_bytes=sum(f["bytes"] for f in files),
-                files=files if len(files) <= 64 else None,
+        with self._stage_lock(stage):
+            flat = [n for n in os.listdir(base) if not n.startswith("_v=")]
+            if not flat:
+                return
+            legacy_dir = self._run_partition_dir(stage, "000000")
+            os.makedirs(legacy_dir, exist_ok=True)
+            for n in flat:
+                os.rename(os.path.join(base, n), os.path.join(legacy_dir, n))
+            snap, files = self._snapshot_of(stage, "000000")
+            entry = {
+                "snapshot": "000000",
+                "digest": snap,
+                "rows": None,  # unknown without a scan; digest pins the files
+                "n_files": len(files),
+                "n_bytes": sum(f["bytes"] for f in files),
+                "ts": time.time(),
+                "migrated_legacy": True,
+            }
+            cur = self.snapshots(stage)
+            _atomic_write_text(
+                self._snapshot_log_path(stage),
+                "".join(json.dumps(s) + "\n" for s in [*cur, entry]),
             )
-            _atomic_write_text(self._manifest_path(stage), json.dumps(row))
+            # upgrade the legacy manifest IN THE SAME STEP: a crash after
+            # the relocation but before the new versioned write would
+            # otherwise leave current_snapshot() == None, and read()'s
+            # flat branch would scan the migrated run_id=<r>/_v=000000
+            # layout with an extra _v partition column (schema drift on
+            # resume)
+            row = self._load_manifest(stage)
+            if row is not None and "snapshot_digest" not in row:
+                row.update(
+                    snapshot="000000",
+                    snapshot_digest=snap,
+                    n_files=len(files),
+                    n_bytes=sum(f["bytes"] for f in files),
+                    files=files if len(files) <= 64 else None,
+                )
+                _atomic_write_text(self._manifest_path(stage), json.dumps(row))
 
     def _read_version(self, stage: str, version: str) -> DataFrame:
         return (

@@ -300,8 +300,16 @@ def _decode_image(payload: bytes, allow_fake: bool = True) -> np.ndarray:
     if grid is not None:
         return grid
     if status == "unsupported":
+        # "unsupported" covers both ladder outcomes: PIL absent for a
+        # known format, and PIL present but unable to identify the
+        # payload — don't claim "not installed" when it is
+        detail = (
+            "no decoder in the ladder identified this payload"
+            if HAVE_PIL
+            else "requires PIL — not installed"
+        )
         raise NotImplementedError(
-            f"real decode for {fmt!r} requires PIL — not installed; "
+            f"real decode for {fmt!r}: {detail}; "
             "set AMP_FAKE_DECODE=1 for the deterministic fake"
         )
     raise ValueError(f"corrupt {fmt} payload")

@@ -115,7 +115,15 @@ class MatchService:
         pinned DataFrame is unpersisted (no cache leak across
         refreshes), and the pipeline run is guarded by a computation
         lock so concurrent callers share one run instead of racing
-        duplicate pipelines."""
+        duplicate pipelines. Cache hits check BEFORE that lock: while a
+        refresh run is in flight, plain requests keep serving the
+        still-valid old pin instead of going dark for the run's
+        duration."""
+        if not refresh:
+            with self._lock:
+                df = self._dup_df
+            if df is not None:
+                return amp_io.results_json(df, limit=limit)
         with self._dup_compute_lock:
             with self._lock:
                 df = None if refresh else self._dup_df
@@ -233,7 +241,12 @@ def make_handler(service: MatchService):
                     # is how an operator invalidates the pinned cluster
                     # table after swapping the service's index
                     opts = payload if isinstance(payload, dict) else {}
-                    limit = int(opts.get("limit", 1000))
+                    try:
+                        limit = int(opts.get("limit", 1000))
+                    except (TypeError, ValueError):
+                        # null/list/dict limits are CLIENT errors: keep
+                        # them on the 400 path, not the generic 500
+                        raise ValueError("limit must be an integer")
                     refresh = bool(opts.get("refresh", False))
                     self._send(
                         200,
@@ -259,30 +272,51 @@ class PooledHTTPServer(HTTPServer):
     handled on a pool thread (stdlib ThreadingHTTPServer spawns one
     unbounded thread per connection — a trivial resource-exhaustion
     lever). Spark drivers are thread-safe for concurrent job submission,
-    so parallel match requests genuinely overlap."""
+    so parallel match requests genuinely overlap.
+
+    Workers are DAEMON threads (not concurrent.futures, whose non-daemon
+    threads are joined at interpreter shutdown — a request stuck in a
+    hung Spark job would then block process exit forever; the old
+    single-threaded server ran handlers on the daemon accept thread and
+    never had that problem). The hand-off queue is bounded: when all
+    workers are busy and the buffer is full, the accept loop blocks and
+    connections back-pressure into the kernel listen backlog instead of
+    accumulating without limit in driver memory."""
 
     def __init__(self, addr, handler_cls, max_workers: int = 8):
-        from concurrent.futures import ThreadPoolExecutor
+        import queue
 
         super().__init__(addr, handler_cls)
-        self._pool = ThreadPoolExecutor(
-            max_workers=max_workers, thread_name_prefix="amp-http"
-        )
+        self._q: "queue.Queue" = queue.Queue(maxsize=2 * max_workers)
+        self._workers = [
+            threading.Thread(
+                target=self._worker_loop, name=f"amp-http-{i}", daemon=True
+            )
+            for i in range(max_workers)
+        ]
+        for t in self._workers:
+            t.start()
 
     def process_request(self, request, client_address):
-        self._pool.submit(self._work, request, client_address)
+        self._q.put((request, client_address))
 
-    def _work(self, request, client_address):
-        try:
-            self.finish_request(request, client_address)
-        except Exception:  # noqa: BLE001 — per-connection failure only
-            self.handle_error(request, client_address)
-        finally:
-            self.shutdown_request(request)
+    def _worker_loop(self):
+        while True:
+            item = self._q.get()
+            if item is None:
+                return
+            request, client_address = item
+            try:
+                self.finish_request(request, client_address)
+            except Exception:  # noqa: BLE001 — per-connection failure only
+                self.handle_error(request, client_address)
+            finally:
+                self.shutdown_request(request)
 
     def server_close(self):
         super().server_close()
-        self._pool.shutdown(wait=False)
+        for _ in self._workers:
+            self._q.put(None)
 
 
 def serve(service: MatchService, port: int = 0, max_workers: int = 8) -> HTTPServer:

@@ -124,7 +124,9 @@ def run_er_pipeline(spark, n_base: int) -> dict:
     # is constant (doesn't shrink with data) per run.
     out["clusters"].write.format("noop").mode("overwrite").save()
     m = out.get("metrics", {})
-    n_records = m.get("n_records") or out["records"].count()
+    n_records = (
+        m["n_records"] if m.get("n_records") is not None else out["records"].count()
+    )
     n_clusters = (
         m.get("n_clusters")
         if m.get("n_clusters") is not None

@@ -143,3 +143,32 @@ def test_adversarial_skew_cap_salt_and_surfaced_drops(spark):
     # capped group contributes nothing; salted group B fully paired
     assert not any(l.startswith("a") for l, _ in got)
     assert sum(1 for l, r in got if l.startswith("b") and r.startswith("b")) == 40 * 39 // 2
+
+
+def test_grouped_pairgen_hot_key_dropped_and_equals_salted(spark):
+    """The grouped shape's hot-key guard: a key above the cap is dropped
+    BEFORE its member array is collected, and the surviving pair set
+    still equals the salted shape's output exactly."""
+    rows = [(f"h{i:03d}", "hot") for i in range(500)]  # one degenerate key
+    rows += [(f"r{i:02d}", f"k{i % 4}") for i in range(40)]  # healthy keys
+    blocks = spark.createDataFrame(
+        rows, "record_id string, block_key string"
+    ).withColumn("pass_name", F.lit("t"))
+    cap = 64
+    grouped_cfg = dataclasses.replace(
+        CFG, max_block_size=cap, grouped_pairgen_max_block=256
+    )
+    salted_cfg = dataclasses.replace(
+        CFG, max_block_size=cap, grouped_pairgen_max_block=0, salt_block_size=8
+    )
+    grouped = {
+        (r["left_id"], r["right_id"])
+        for r in blocking.candidate_pairs(blocks, grouped_cfg).collect()
+    }
+    salted = {
+        (r["left_id"], r["right_id"])
+        for r in blocking.candidate_pairs(blocks, salted_cfg).collect()
+    }
+    assert grouped == salted
+    assert len(grouped) == 4 * (10 * 9 // 2)
+    assert not any(l.startswith("h") for l, _ in grouped)

@@ -172,3 +172,65 @@ def test_expire_rewrite_is_atomic_file_swap(spark, tmp_path_factory):
     # id derivation still monotonic after the truncated log
     ck.write(_df(spark, 40), "nums")
     assert ck.current_snapshot("nums") == "000004"
+
+
+def _hold_stage_lock(ck, stage):
+    """Acquire the stage's flock the way _commit does (separate fd)."""
+    import fcntl
+
+    lk = open(ck._snapshot_log_path(stage) + ".lock", "w")
+    fcntl.flock(lk, fcntl.LOCK_EX)
+    return lk
+
+
+def test_expire_and_rollback_serialize_on_the_commit_lock(
+    spark, tmp_path_factory
+):
+    """expire_snapshots and rollback mutate the snapshot log, so they
+    must take the SAME flock as _commit — an expire racing a commit
+    from a pre-commit log read would otherwise erase the just-committed
+    row, and the next write would reuse its live version id."""
+    import fcntl
+    import threading
+
+    from amp.checkpoint import CheckpointManager
+
+    root = str(tmp_path_factory.mktemp("expire_lock"))
+    ck = CheckpointManager(spark, root, run_id=0)
+    ck.write(_df(spark), "nums")
+    ck.write(_df(spark, 60), "nums")
+
+    lk = _hold_stage_lock(ck, "nums")
+    done = threading.Event()
+    result: list = []
+
+    def _expire():
+        result.append(ck.expire_snapshots("nums", keep_last=1))
+        done.set()
+
+    t = threading.Thread(target=_expire, daemon=True)
+    t.start()
+    # while the lock is held, expire must BLOCK (not rewrite the log)
+    assert not done.wait(timeout=1.0), "expire ran despite a held commit lock"
+    assert [s["snapshot"] for s in ck.snapshots("nums")] == ["000001", "000002"]
+    fcntl.flock(lk, fcntl.LOCK_UN)
+    lk.close()
+    assert done.wait(timeout=30.0)
+    assert result == [["000001"]]
+    assert [s["snapshot"] for s in ck.snapshots("nums")] == ["000002"]
+    # next write derives from the retained max, never reuses 000002
+    ck.write(_df(spark, 70), "nums")
+    assert ck.current_snapshot("nums") == "000003"
+
+    # rollback respects the same lock
+    lk = _hold_stage_lock(ck, "nums")
+    done2 = threading.Event()
+    t2 = threading.Thread(
+        target=lambda: (ck.rollback("nums", "000002"), done2.set()), daemon=True
+    )
+    t2.start()
+    assert not done2.wait(timeout=1.0), "rollback ran despite a held lock"
+    fcntl.flock(lk, fcntl.LOCK_UN)
+    lk.close()
+    assert done2.wait(timeout=30.0)
+    assert ck.current_snapshot("nums") == "000002"

@@ -231,3 +231,76 @@ def test_concurrent_requests_share_one_pipeline_run(
         assert calls["n"] == 1, "concurrent callers must share one pipeline run"
     finally:
         httpd.shutdown()
+
+
+def test_bad_limit_types_are_400_not_500(spark, small_corpus, service):
+    """null/list/dict 'limit' values are client errors: the handler must
+    classify them as 400, not fall through to the generic 500."""
+    from amp.serve import serve
+
+    httpd = serve(service, port=0)
+    try:
+        port = httpd.server_address[1]
+        for limit in (None, [1], {"n": 1}, "abc"):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/api/v1/duplicates",
+                data=json.dumps({"limit": limit}).encode(),
+                method="POST",
+            )
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                urllib.request.urlopen(req)
+            assert ei.value.code == 400, limit
+    finally:
+        httpd.shutdown()
+
+
+def test_http_workers_are_daemon_threads(spark, small_corpus, service):
+    """Pool workers must be daemon: a request stuck in a hung Spark job
+    must not block interpreter exit (concurrent.futures threads would
+    be joined at shutdown)."""
+    from amp.serve import serve
+
+    httpd = serve(service, port=0)
+    try:
+        assert httpd._workers, "bounded worker pool expected"
+        assert all(t.daemon for t in httpd._workers)
+    finally:
+        httpd.shutdown()
+
+
+def test_duplicates_cache_hit_serves_during_refresh(
+    spark, small_corpus, service, monkeypatch
+):
+    """While a refresh pipeline run holds the compute lock, a plain
+    request must return the still-valid old pin immediately instead of
+    blocking for the run's duration."""
+    import threading
+    import time as _time
+
+    import amp.pipeline as P
+
+    service._dup_df = None
+    service.duplicates(limit=10)  # warm the pin
+
+    real = P.run_pipeline
+    entered = threading.Event()
+    release = threading.Event()
+
+    def slow(*a, **kw):
+        entered.set()
+        release.wait(timeout=60)
+        return real(*a, **kw)
+
+    monkeypatch.setattr(P, "run_pipeline", slow)
+    t = threading.Thread(
+        target=lambda: service.duplicates(limit=10, refresh=True), daemon=True
+    )
+    t.start()
+    assert entered.wait(timeout=30), "refresh never reached the pipeline"
+    t0 = _time.time()
+    out = service.duplicates(limit=10)  # must NOT block on the refresh
+    assert _time.time() - t0 < 5.0
+    assert len(out) > 0
+    release.set()
+    t.join(timeout=120)
+    assert not t.is_alive()
