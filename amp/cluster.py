@@ -19,12 +19,17 @@ from pyspark.sql import functions as F
 from .config import AmpConfig, DEFAULT_CONFIG
 
 
-def _canon(edges: DataFrame) -> DataFrame:
-    return (
-        edges.select(F.col("left_id").alias("u"), F.col("right_id").alias("v"))
-        .where(F.col("u") != F.col("v"))
-        .distinct()
-    )
+def _canon(edges: DataFrame, edges_unique: bool = False) -> DataFrame:
+    e = edges.select(
+        F.col("left_id").alias("u"), F.col("right_id").alias("v")
+    ).where(F.col("u") != F.col("v"))
+    # the distinct is a perf choice (smaller star-loop input / driver
+    # collect), never a correctness one — duplicate edges are redundant
+    # unions. Callers that guarantee a unique canonical edge set (the
+    # pipeline: threshold edges are distinct left<right pairs, exact
+    # edges are min-id stars, and the two are disjoint by construction)
+    # skip the shuffle.
+    return e if edges_unique else e.distinct()
 
 
 def _large_star(e: DataFrame) -> DataFrame:
@@ -73,46 +78,67 @@ def _driver_union_find(e: DataFrame) -> DataFrame:
 
 
 def _union_find_pdf(pdf, spark, id_type: str, stats_out: dict | None = None) -> DataFrame:
-    """Union-find over an already-collected edge frame. ``stats_out``
-    (when given) receives driver-known aggregates — edge count, node
-    count, distinct root count — so callers can report cluster metrics
-    WITHOUT a separate Spark aggregation job over the assignment table."""
+    """Connected components over an already-collected edge frame,
+    vectorized: ids are factorized to sort-ordered integer codes (so
+    min code == min id) and the closure runs as numpy hook-and-compress
+    — per iteration, fully compress the parent array by pointer
+    jumping, then hook every edge's larger root under its smaller root
+    with ``np.minimum.at``. Labels only decrease and are bounded below
+    by each component's min code, which is itself a fixpoint root, so
+    the loop converges to cluster_id = min member id in O(log n)
+    vectorized passes — the same contract as the old per-edge Python
+    dict walk, minus its interpreter cost (~2s at 500k edges, ~10s at
+    2.4M).
+
+    ``stats_out`` (when given) receives driver-known aggregates — edge
+    count, node count, distinct root count — so callers can report
+    cluster metrics WITHOUT a separate Spark aggregation job over the
+    assignment table."""
+    import numpy as np
     import pandas as pd
 
-    parent: dict[str, str] = {}
-
-    def find(x: str) -> str:
-        root = x
-        while parent.get(root, root) != root:
-            root = parent[root]
-        while parent.get(x, x) != x:
-            parent[x], x = root, parent[x]
-        return root
-
-    nodes = set()
-    for u, v in zip(pdf["u"], pdf["v"]):
-        nodes.add(u)
-        nodes.add(v)
-        ru, rv = find(u), find(v)
-        if ru != rv:
-            lo, hi = (ru, rv) if ru < rv else (rv, ru)
-            parent[hi] = lo  # min-id root -> deterministic cluster ids
-    rows = sorted((x, find(x)) for x in nodes)
-    if stats_out is not None:
-        stats_out.update(
-            driver_path=True,
-            n_edges=len(pdf),
-            n_edge_nodes=len(nodes),
-            n_edge_roots=len({r for _, r in rows}),
-        )
-    if not rows:
+    n_edges = len(pdf)
+    if n_edges == 0:
+        if stats_out is not None:
+            stats_out.update(
+                driver_path=True, n_edges=0, n_edge_nodes=0, n_edge_roots=0
+            )
         # schema follows the edge id type (string record_ids in the ER
         # pipeline, int64 doc_ids in the documents-table queries)
         return spark.createDataFrame(
             [], f"record_id {id_type}, cluster_id {id_type}"
         )
+
+    both = pd.concat([pdf["u"], pdf["v"]], ignore_index=True)
+    codes, uniques = pd.factorize(both, sort=True)
+    eu, ev = codes[:n_edges], codes[n_edges:]
+    n = len(uniques)
+    parent = np.arange(n, dtype=np.int64)
+    while True:
+        while True:  # full path compression by pointer jumping
+            p2 = parent[parent]
+            if np.array_equal(p2, parent):
+                break
+            parent = p2
+        ru, rv = parent[eu], parent[ev]
+        lo = np.minimum(ru, rv)
+        hi = np.maximum(ru, rv)
+        m = lo != hi
+        if not m.any():
+            break
+        np.minimum.at(parent, hi[m], lo[m])
+
+    ids = uniques.to_numpy() if hasattr(uniques, "to_numpy") else np.asarray(uniques)
+    if stats_out is not None:
+        stats_out.update(
+            driver_path=True,
+            n_edges=n_edges,
+            n_edge_nodes=n,
+            n_edge_roots=int((parent == np.arange(n)).sum()),
+        )
     return spark.createDataFrame(
-        pd.DataFrame(rows, columns=["record_id", "cluster_id"])
+        pd.DataFrame({"record_id": ids, "cluster_id": ids[parent]}),
+        schema=f"record_id {id_type}, cluster_id {id_type}",
     )
 
 
@@ -121,6 +147,7 @@ def connected_components(
     all_nodes: DataFrame | None = None,
     cfg: AmpConfig = DEFAULT_CONFIG,
     nodes_unique: bool = False,
+    edges_unique: bool = False,
     stats_out: dict | None = None,
 ) -> DataFrame:
     """edges(left_id, right_id) -> (record_id, cluster_id).
@@ -130,7 +157,10 @@ def connected_components(
     ``nodes_unique=True`` skips the defensive distinct() on all_nodes —
     callers that already guarantee id uniqueness (the pipeline's records
     table, post-probe) must pass it: at 10^12 rows that distinct is a
-    full shuffle of every record id for nothing.
+    full shuffle of every record id for nothing. ``edges_unique=True``
+    does the same for the edge-canonicalization distinct (see _canon) —
+    the edge materialization then has NO shuffle at all, just a narrow
+    filtered scan of its inputs.
 
     Size-adaptive: at or below ``cfg.cc_driver_cutoff`` edges the
     transitive closure runs as driver-side union-find (a request-scoped
@@ -155,7 +185,7 @@ def connected_components(
     """
     # Materialize the canonical edge set ONCE: the size probe, the
     # small-graph collect, and the star loop all consume it.
-    e0 = _canon(edges).localCheckpoint(eager=True)
+    e0 = _canon(edges, edges_unique=edges_unique).localCheckpoint(eager=True)
     if cfg.cc_driver_cutoff > 0 and e0.count() <= cfg.cc_driver_cutoff:
         assign = _union_find_pdf(
             e0.toPandas(),

@@ -69,6 +69,21 @@ class AmpConfig:
                                     # higher; the knob is the executor-memory
                                     # budget for the dimension-style side.
 
+    fused_reps_min_partitions: int = 24
+                                    # pipeline constant-phase shape: when the
+                                    # pinned records table has at least this
+                                    # many partitions (a cheap driver-side
+                                    # size proxy — partition count scales with
+                                    # input bytes), the representatives pin is
+                                    # fused into the uniqueness-probe window
+                                    # as ONE concurrent groupBy+semijoin job
+                                    # instead of two sequential pins (winners,
+                                    # then reps). Both shapes are semantically
+                                    # identical; the heuristic only decides
+                                    # which timing we get, so a wrong guess is
+                                    # never a correctness event. Small corpora
+                                    # keep the lazy broadcast-winners reps.
+
     # ---- rank / edges ----
     score_threshold: float = 0.62   # composite in [0,1]; >= threshold -> edge
     top_k: int = 10

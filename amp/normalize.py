@@ -261,7 +261,9 @@ def representatives_from_winners(
     return records.join(w, ["content_sha", "record_id"], "leftsemi")
 
 
-def uniqueness_stats(records: DataFrame) -> tuple[int, int, int]:
+def uniqueness_stats(
+    records: DataFrame, with_contents: bool = True
+) -> tuple[int, int, int | None]:
     """(n_rows, n_distinct_ids, n_distinct_contents) in ONE pruned-column
     aggregation job. Serves three pipeline needs at once:
       * dedupe probe: n_rows == n_distinct_ids means record_id is unique
@@ -269,15 +271,25 @@ def uniqueness_stats(records: DataFrame) -> tuple[int, int, int]:
         one row per distinct content_sha, so n_distinct_contents IS the
         IDF corpus size — no separate reps.count() job
       * records count for lineage/metrics.
-    Two exact countDistincts expand the thin (record_id, content_sha)
-    projection 3x — still far cheaper than the three separate jobs this
-    replaces (each full-stage-scheduled on its own)."""
-    row = records.agg(
+    Exact countDistincts expand the thin (record_id, content_sha)
+    projection — still far cheaper than the separate jobs this replaces
+    (each full-stage-scheduled on its own). Callers that hold a PINNED
+    winner/reps table pass ``with_contents=False`` (third element comes
+    back None): its row count IS n_distinct_contents at ~zero cost, so
+    the probe drops the content-sha countDistinct and its row
+    expansion."""
+    aggs = [
         F.count("*").alias("n"),
         F.countDistinct("record_id").alias("d_id"),
-        F.countDistinct("content_sha").alias("d_sha"),
-    ).first()
-    return int(row["n"]), int(row["d_id"]), int(row["d_sha"])
+    ]
+    if with_contents:
+        aggs.append(F.countDistinct("content_sha").alias("d_sha"))
+    row = records.agg(*aggs).first()
+    return (
+        int(row["n"]),
+        int(row["d_id"]),
+        int(row["d_sha"]) if with_contents else None,
+    )
 
 
 def dedupe_full(records: DataFrame) -> DataFrame:

@@ -66,31 +66,65 @@ def run_pipeline(
     # inputs keep the same frame; a dirty input yields a new (deduped)
     # plan -> re-pin + re-count (rare path pays the extra job).
     #
-    # The probe and the winner-id pin are INDEPENDENT actions over the
+    # The probe and the winner-side pin are INDEPENDENT actions over the
     # same pinned table, so the no-checkpoint path submits them
     # concurrently (Spark drivers schedule concurrent jobs safely; both
     # inputs are immutable pins). These are the pipeline's constant-cost
     # phases — they don't shrink with data, so at high parallelism they
     # dilute scaling; overlapping them halves that constant.
+    #
+    # WHICH table the winner thread pins is a size call: small corpora
+    # pin the thin (content_sha, record_id) winner table and leave reps
+    # as a lazy broadcast semi-join; large corpora pin the fat reps rows
+    # directly — representatives() fuses the winner groupBy and the
+    # semi-join into ONE job, so the pin lands inside the probe window
+    # instead of running as a second sequential materialization, and
+    # the winner table falls out of the pinned reps as a free projection
+    # (every reps row IS its content's winner). n_rows isn't known until
+    # the probe returns, so the call uses the pinned table's partition
+    # count as the size proxy (cfg.fused_reps_min_partitions); both
+    # shapes are semantically identical, so a wrong guess costs timing,
+    # never correctness.
     winners = None
+    reps = None
     if ck is None:
         from concurrent.futures import ThreadPoolExecutor
 
+        fused_reps = (
+            records.rdd.getNumPartitions() >= cfg.fused_reps_min_partitions
+        )
+
+        def _winner_side():
+            if fused_reps:
+                return pin(normalize.representatives(records))
+            return pin(normalize.winner_ids(records))
+
         with ThreadPoolExecutor(max_workers=2) as pool:
-            f_probe = pool.submit(normalize.uniqueness_stats, records)
-            f_winners = pool.submit(
-                lambda: pin(normalize.winner_ids(records))
+            # the pinned winner side's row count IS n_contents (one row
+            # per distinct content either way), so the probe skips the
+            # content-sha countDistinct and its row expansion
+            f_probe = pool.submit(
+                lambda: normalize.uniqueness_stats(records, with_contents=False)
             )
-            n_rows, n_ids, n_contents = f_probe.result()
-            winners = f_winners.result()
+            f_side = pool.submit(_winner_side)
+            n_rows, n_ids, _ = f_probe.result()
+            side = f_side.result()
         if n_ids != n_rows:
-            # dirty input (rare): winners were derived from the
+            # dirty input (rare): the winner side was derived from the
             # pre-dedup rows — recompute everything off the deduped pin.
-            # Re-probe ALL counts: n_rows feeds metrics + the cluster
-            # arithmetic below, not just the gate.
+            # Re-probe the row counts: n_rows feeds metrics + the
+            # cluster arithmetic below, not just the gate.
             records = pin(normalize.dedupe_full(records))
-            n_rows, n_ids, n_contents = normalize.uniqueness_stats(records)
-            winners = pin(normalize.winner_ids(records))
+            n_rows, n_ids, _ = normalize.uniqueness_stats(
+                records, with_contents=False
+            )
+            side = _winner_side()
+        n_contents = side.count()  # pinned-table count, ~free
+        if fused_reps:
+            reps = side
+            winners = reps.select("content_sha", "record_id")
+        else:
+            winners = side
     else:
         n_rows, n_ids, n_contents = normalize.uniqueness_stats(records)
         if n_ids != n_rows:
@@ -99,6 +133,8 @@ def run_pipeline(
 
     if ck is not None:
         reps = stage("reps", lambda: normalize.representatives(records))
+    elif reps is not None:
+        pass  # fused path: reps pinned inside the probe window above
     elif n_rows <= cfg.broadcast_sides_max_records:
         # small-corpus shape: the THIN pinned winner table broadcasts
         # and reps stays a lazy semi-join against pinned records — each
@@ -202,8 +238,13 @@ def run_pipeline(
             cfg=cfg,
             # the uniqueness probe above guarantees one row per
             # record_id, so the singleton join skips its defensive
-            # distinct (a full id shuffle at corpus scale)
+            # distinct (a full id shuffle at corpus scale); threshold
+            # edges are distinct left<right pairs and exact edges are
+            # disjoint min-id stars, so the edge canonicalization
+            # distinct is skipped too — the edge pin is a pure narrow
+            # scan
             nodes_unique=True,
+            edges_unique=True,
             stats_out=cc_stats,
         ),
     )

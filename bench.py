@@ -115,14 +115,25 @@ def run_er_pipeline(spark, n_base: int) -> dict:
     t0 = time.time()
     files = spark.read.parquet(path)
     out = run_pipeline(spark, files)
-    n_pairs = out["scored"].count()
     # the cluster table is still MATERIALIZED end-to-end (noop sink —
     # the flagship output must be produced, not just planned), but the
     # counts come from driver-known metrics the pipeline already paid
     # for: n_records from the uniqueness probe, n_clusters from the
     # union-find aggregates — replacing two aggregation jobs whose cost
-    # is constant (doesn't shrink with data) per run.
-    out["clusters"].write.format("noop").mode("overwrite").save()
+    # is constant (doesn't shrink with data) per run. The remaining
+    # pair count (a cheap job over the pinned scored table) runs
+    # CONCURRENTLY with the cluster materialization — independent
+    # actions over immutable pins, same pattern as the pipeline's
+    # probe/winner overlap.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_pairs = pool.submit(out["scored"].count)
+        f_mat = pool.submit(
+            lambda: out["clusters"].write.format("noop").mode("overwrite").save()
+        )
+        n_pairs = f_pairs.result()
+        f_mat.result()
     m = out.get("metrics", {})
     n_records = (
         m["n_records"] if m.get("n_records") is not None else out["records"].count()

@@ -59,25 +59,42 @@ def run_phases(cpus: int, n_base: int) -> dict:
         lambda: normalize.normalize(files, cfg).localCheckpoint(eager=True),
     )
 
-    # mirror run_pipeline exactly: the uniqueness probe and the thin
-    # winner-id pin run as CONCURRENT driver actions over the pin
+    # mirror run_pipeline exactly: the uniqueness probe and the winner
+    # side run as CONCURRENT driver actions over the pin. Large inputs
+    # (partition-count proxy, cfg.fused_reps_min_partitions) pin the
+    # fat reps rows INSIDE the probe window as one fused job — the
+    # "reps+pin" phase then reports 0.0 because that materialization no
+    # longer exists as a separate sequential step; small inputs keep
+    # the thin winner pin + lazy broadcast reps.
     from concurrent.futures import ThreadPoolExecutor
 
-    def _probe_and_winners():
-        with ThreadPoolExecutor(max_workers=2) as pool:
-            f_probe = pool.submit(normalize.uniqueness_stats, records)
-            f_winners = pool.submit(
-                lambda: normalize.winner_ids(records).localCheckpoint(eager=True)
-            )
-            return f_probe.result(), f_winners.result()
+    fused_reps = records.rdd.getNumPartitions() >= cfg.fused_reps_min_partitions
 
-    (n_rows, n_ids, n_contents), winners = timed(
-        "uniqueness_probe", _probe_and_winners
+    def _probe_and_winner_side():
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_probe = pool.submit(
+                lambda: normalize.uniqueness_stats(records, with_contents=False)
+            )
+            f_side = pool.submit(
+                lambda: (
+                    normalize.representatives(records)
+                    if fused_reps
+                    else normalize.winner_ids(records)
+                ).localCheckpoint(eager=True)
+            )
+            probe, s = f_probe.result(), f_side.result()
+            return (probe[0], probe[1], s.count()), s
+
+    (n_rows, n_ids, n_contents), side = timed(
+        "uniqueness_probe", _probe_and_winner_side
     )
     assert n_rows == n_ids, "scaling corpus has unique ids by construction"
-    # run_pipeline's gate: small corpora leave reps as a lazy broadcast
-    # semi-join; large corpora pin the fat reps rows
-    if n_rows <= cfg.broadcast_sides_max_records:
+    if fused_reps:
+        reps = side
+        winners = reps.select("content_sha", "record_id")
+        t["reps+pin"] = 0.0
+    elif n_rows <= cfg.broadcast_sides_max_records:
+        winners = side
         reps = timed(
             "reps+pin",
             lambda: normalize.representatives_from_winners(
@@ -85,6 +102,7 @@ def run_phases(cpus: int, n_base: int) -> dict:
             ),
         )
     else:
+        winners = side
         reps = timed(
             "reps+pin",
             lambda: normalize.representatives_from_winners(
@@ -119,17 +137,24 @@ def run_phases(cpus: int, n_base: int) -> dict:
         )
         return cluster.connected_components(
             edges, all_nodes=records.select("record_id"), cfg=cfg,
-            nodes_unique=True, stats_out=cc_stats,
+            nodes_unique=True, edges_unique=True, stats_out=cc_stats,
         )
 
     clusters = timed("edges+cc", _cc)
 
     def _counts():
-        n_pairs = scored.count()
-        # materialize the cluster table end-to-end (noop sink), but take
-        # the cluster count from the union-find aggregates when the
-        # driver path ran (mirrors bench.run_er_pipeline)
-        clusters.write.format("noop").mode("overwrite").save()
+        # materialize the cluster table end-to-end (noop sink)
+        # CONCURRENTLY with the pair count over the pinned scored
+        # table, and take the cluster count from the union-find
+        # aggregates when the driver path ran (mirrors
+        # bench.run_er_pipeline)
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_pairs = pool.submit(scored.count)
+            f_mat = pool.submit(
+                lambda: clusters.write.format("noop").mode("overwrite").save()
+            )
+            n_pairs = f_pairs.result()
+            f_mat.result()
         if cc_stats.get("driver_path"):
             n_cl = cc_stats["n_edge_roots"] + (n_rows - cc_stats["n_edge_nodes"])
         else:

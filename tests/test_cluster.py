@@ -89,6 +89,20 @@ def test_driver_and_star_paths_agree_on_random_graph(spark):
     assert a == b
 
 
+@BOTH
+def test_cc_edges_unique_flag_tolerates_duplicates(spark, cfg):
+    """edges_unique=True skips the canonicalization distinct as a perf
+    shape; it must stay CORRECT even when the caller's uniqueness
+    guarantee is violated (duplicate + reversed edges are redundant
+    unions, never wrong answers)."""
+    pairs = [("a", "b"), ("a", "b"), ("b", "c"), ("c", "b"), ("x", "y")]
+    e = _edges(spark, pairs)
+    base = _clusters(connected_components(e, cfg=cfg))
+    fast = _clusters(connected_components(e, cfg=cfg, edges_unique=True))
+    assert fast == base
+    assert base == {("a", "a"), ("b", "a"), ("c", "a"), ("x", "x"), ("y", "x")}
+
+
 def test_pairwise_f1_counts(spark):
     clusters = spark.createDataFrame(
         [("a", "a"), ("b", "a"), ("c", "c"), ("d", "d")],

@@ -55,6 +55,48 @@ def test_dirty_input_metrics_use_post_dedup_counts(spark, small_corpus):
     )
 
 
+def test_fused_reps_path_identical_to_default(spark, small_corpus, pipeline_out):
+    """The large-corpus shape (reps pinned inside the probe window as
+    one fused groupBy+semijoin job, winners derived as a projection of
+    the pinned reps) must produce byte-identical clusters to the
+    small-corpus shape (thin winner pin + lazy broadcast reps). Forced
+    here by dropping the partition-count gate to 1; the dirty-input
+    rare path is exercised through the same fused branch."""
+    import dataclasses
+
+    from amp.config import DEFAULT_CONFIG
+    from amp.pipeline import run_pipeline
+
+    files, _ = small_corpus
+    cfg = dataclasses.replace(DEFAULT_CONFIG, fused_reps_min_partitions=1)
+    out = run_pipeline(spark, files, cfg)
+    base = {
+        tuple(r) for r in pipeline_out["clusters"].select(
+            "record_id", "cluster_id"
+        ).collect()
+    }
+    fused = {
+        tuple(r) for r in out["clusters"].select(
+            "record_id", "cluster_id"
+        ).collect()
+    }
+    assert fused == base
+    # metrics contract holds on the fused path too
+    m = out["metrics"]
+    assert m["n_records"] == out["records"].count()
+    assert (
+        m["n_clusters"]
+        == out["clusters"].agg(F.countDistinct("cluster_id")).collect()[0][0]
+    )
+    # dirty input through the fused branch: winner side recomputed off
+    # the deduped pin
+    sample = files.limit(40)
+    doubled = sample.unionByName(sample)
+    out2 = run_pipeline(spark, doubled, cfg)
+    assert out2["metrics"]["n_records"] == 40
+    assert out2["reps"].count() == out2["reps"].select("content_sha").distinct().count()
+
+
 def test_per_class_recall(spark, small_corpus, pipeline_out):
     """Each corruption class must be fully recalled, and the negative
     class (boilerplate near-miss) fully rejected."""
