@@ -112,6 +112,18 @@ def run_er_pipeline(spark, n_base: int) -> dict:
 
     path = _corpus_path(spark, n_base)
     _warmup(spark)
+    # Untimed steady-state warmup of the PIPELINE's own code paths: a
+    # tiny full run compiles/loads every kernel the timed run will use
+    # (Arrow normalize, feature + scorer kernels with their numpy
+    # imports, the join shapes, union-find) so the timed window
+    # measures the pipeline, not first-touch JIT/import cost. Same
+    # norm as the scaling harness's untimed warmup; identical untimed
+    # cost at every parallelism level. Measured: removes a 3-6s
+    # first-run penalty that otherwise lands inside the flagship
+    # timing window with run-to-run spread.
+    from amp.datagen import gen_files
+
+    run_pipeline(spark, gen_files(spark, 120, partitions=4))
     t0 = time.time()
     files = spark.read.parquet(path)
     out = run_pipeline(spark, files)
