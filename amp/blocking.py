@@ -136,8 +136,18 @@ def minhash_blocks(sigs: DataFrame, cfg: AmpConfig = DEFAULT_CONFIG) -> DataFram
     for band in range(cfg.minhash_bands):
         parts = [F.element_at("sig", band * r + i + 1) for i in range(r)]
         band_keys.append(F.xxhash64(F.lit(band), *parts))
+    # array_distinct makes the no-duplicate-(record_id, block_key)
+    # invariant STRUCTURAL within the pass (band index is salted into
+    # each key, so duplicates require a real xxhash64 collision — but
+    # the grouped pair-gen's hot-key pre-count counts raw rows, and its
+    # equivalence to the authoritative distinct-size gate must not rest
+    # on a probabilistic argument). Cross-pass duplicates would need a
+    # minhash-vs-path key collision (disjoint hash inputs; 2^-64),
+    # and the post-collect distinct-size filter remains authoritative.
     return (
-        sigs.select("record_id", F.array(*band_keys).alias("keys"))
+        sigs.select(
+            "record_id", F.array_distinct(F.array(*band_keys)).alias("keys")
+        )
         .select("record_id", F.explode("keys").alias("block_key"))
         .withColumn("pass_name", F.lit("minhash"))
     )
@@ -216,8 +226,10 @@ def _candidate_pairs_grouped(blocks: DataFrame, cfg: AmpConfig) -> DataFrame:
     # once, now with no sort. The second scan of the blocks plan for
     # the count is narrow projections over the pinned sides table.
     # Row count == distinct count here because no pass emits the same
-    # (record, key) twice (asserted by the salted twin's equality test);
-    # the post-collect size filter stays as the authoritative gate.
+    # (record, key) twice — STRUCTURAL as of round 5: minhash_blocks
+    # explodes an array_distinct'd key array and path_blocks emits one
+    # row per record (cross-pass dup needs a 2^-64 key collision); the
+    # post-collect size filter stays as the authoritative gate.
     hot = (
         blocks.groupBy("block_key")
         .agg(F.count("*").alias("m"))
@@ -245,10 +257,16 @@ def _candidate_pairs_grouped(blocks: DataFrame, cfg: AmpConfig) -> DataFrame:
     # explicit partition count on the dedup shuffle: pair ROWS are tiny
     # (~80 B) but each costs real Python-kernel work downstream, so
     # AQE's byte-based coalesce would serialize the scorer onto one
-    # task; groupBy on the repartition keys reuses this exchange
-    return pairs.repartition(
-        cfg.shuffle_partitions, "left_id", "right_id"
-    ).dropDuplicates(["left_id", "right_id"])
+    # task. Partition by left_id ONLY: hash(left_id) satisfies the
+    # dedup's clustered distribution on (left_id, right_id) — every
+    # duplicate shares its left_id — AND the scorer's first
+    # shuffled-hash join keys on left_id, so dedup + join-1 share THIS
+    # one exchange and the pair table shuffles once, not twice
+    # (round-4 verdict task 1). Skew is bounded: one record pairs with
+    # at most (max_block_size - 1) x n_passes others.
+    return pairs.repartition(cfg.shuffle_partitions, "left_id").dropDuplicates(
+        ["left_id", "right_id"]
+    )
 
 
 def _candidate_pairs_salted(

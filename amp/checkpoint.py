@@ -51,6 +51,29 @@ def _atomic_write_text(path: str, text: str) -> None:
     os.replace(tmp, path)
 
 
+def read_manifest_dir(root: str) -> list[dict]:
+    """All stage-manifest rows under ``root`` — a PURE READ (no
+    makedirs, no Spark conf mutation), safe for read-only callers like
+    the serving layer's /metrics endpoint. Missing directory reads as
+    an empty manifest; torn rows (crash mid-write under the pre-atomic
+    layout) are skipped, matching _load_manifest's not-done semantics."""
+    out: list[dict] = []
+    d = os.path.join(root, "_manifest")
+    try:
+        names = sorted(os.listdir(d))
+    except OSError:
+        return out
+    for f in names:
+        if not f.endswith(".json"):
+            continue  # .snapshots.jsonl logs live alongside
+        try:
+            with open(os.path.join(d, f)) as fh:
+                out.append(json.load(fh))
+        except (json.JSONDecodeError, OSError):
+            continue  # torn manifest == stage not done; skip the row
+    return out
+
+
 class CheckpointManager:
     """All snapshot-log mutations (_commit, expire_snapshots, rollback,
     the legacy-layout migration) serialize on one flock per stage —
@@ -113,17 +136,7 @@ class CheckpointManager:
         return self._load_manifest(stage) is not None
 
     def manifest(self) -> list[dict]:
-        out = []
-        d = os.path.join(self.root, "_manifest")
-        for f in sorted(os.listdir(d)):
-            if not f.endswith(".json"):
-                continue  # .snapshots.jsonl logs live alongside
-            try:
-                with open(os.path.join(d, f)) as fh:
-                    out.append(json.load(fh))
-            except (json.JSONDecodeError, OSError):
-                continue  # torn manifest == stage not done; skip the row
-        return out
+        return read_manifest_dir(self.root)
 
     # -- snapshots ----------------------------------------------------------
     # Every write of a stage creates a NEW snapshot version, laid out as

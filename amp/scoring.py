@@ -160,6 +160,130 @@ def unpack_tfblob(blob: bytes):
     return h, q, float(scale), float(norm)
 
 
+def _unpack_blobs_cat(blobs):
+    """Distinct tfblobs -> concatenated (hashes, q, offsets, lens,
+    scale, norm) arrays: one frombuffer pass per DISTINCT blob, then
+    every per-pair operation is numpy over the concatenation."""
+    import numpy as np
+
+    n_b = len(blobs)
+    hs, qs = [], []
+    lens = np.zeros(n_b, dtype=np.int64)
+    scale = np.zeros(n_b, dtype=np.float64)
+    norm = np.zeros(n_b, dtype=np.float64)
+    for i, b in enumerate(blobs):
+        h, q, sc, nm = unpack_tfblob(b)
+        hs.append(h)
+        qs.append(q)
+        lens[i] = len(h)
+        scale[i] = sc
+        norm[i] = nm
+    h_cat = np.concatenate(hs) if hs else np.zeros(0, dtype=np.int32)
+    q_cat = np.concatenate(qs) if qs else np.zeros(0, dtype=np.int16)
+    off = np.zeros(n_b + 1, dtype=np.int64)
+    np.cumsum(lens, out=off[1:])
+    return h_cat, q_cat, off, lens, scale, norm
+
+
+# memory cap for the vectorized intersection: unique (l,r) blob pairs
+# are processed in chunks whose total query elements stay under this,
+# bounding the repeated-index scratch arrays (~9 arrays x 8 B x cap)
+# regardless of Arrow batch size or token-heavy records
+_TFDOT_CHUNK_ELEMS = 4_000_000
+
+
+def tfblob_dots_batch(l_col, r_col):
+    """Vectorized tf-idf (dot, cosine) over aligned tfblob columns —
+    bit-identical to the scalar per-pair searchsorted intersection
+    (products and partial sums are int16*int16 accumulations, exactly
+    representable in float64, so summation order cannot change the
+    result; asserted against the scalar twin in tests).
+
+    Shape: factorize each side to DISTINCT blobs, reduce the batch to
+    DISTINCT (l, r) blob pairs (pairs repeat heavily — every record
+    scores against many candidates), then resolve ALL intersections in
+    one composite-key searchsorted: left hashes become
+    (l_blob_id << 32) | (hash + 2^31) — sorted by construction because
+    per-blob hash arrays arrive sorted from pack_tfblob — and every
+    right-side element queries that space tagged with its pair's left
+    blob id. Matched weight products group-sum by pair via bincount.
+    No Python statement executes per pair."""
+    import numpy as np
+    import pandas as pd
+
+    n = len(l_col)
+    if n == 0:
+        return np.zeros(0), np.zeros(0)
+    l_codes, l_blobs = pd.factorize(l_col)
+    r_codes, r_blobs = pd.factorize(r_col)
+    # a null blob factorizes to code -1 and would silently index the
+    # LAST distinct blob (another record's features). Unreachable while
+    # the pair feed is an inner join on both sides — fail loudly if a
+    # future outer-join feed ever breaks that invariant.
+    if l_codes.min() < 0 or r_codes.min() < 0:
+        raise ValueError(
+            "null tfblob in scorer input — pairs must inner-join both "
+            "feature sides"
+        )
+    lh, lq, loff, llen, lsc, lnorm = _unpack_blobs_cat(l_blobs)
+    rh, rq, roff, rlen, rsc, rnorm = _unpack_blobs_cat(r_blobs)
+
+    n_r = max(len(r_blobs), 1)
+    pair_key = l_codes.astype(np.int64) * n_r + r_codes
+    ukey, inv = np.unique(pair_key, return_inverse=True)
+    up_l = ukey // n_r
+    up_r = ukey % n_r
+    m = len(ukey)
+
+    dots_u = np.zeros(m)
+    if len(lh):
+        # left composite keys: (blob_id << 32) | hash lifted to uint32
+        # order-preservingly (+2^31) — globally sorted because blob ids
+        # ascend and per-blob hashes are sorted+unique
+        lkeys = (
+            np.repeat(np.arange(len(l_blobs), dtype=np.int64), llen) << 32
+        ) | (lh.astype(np.int64) + (1 << 31))
+        q_lens = rlen[up_r]
+        cum = np.zeros(m + 1, dtype=np.int64)
+        np.cumsum(q_lens, out=cum[1:])
+        lo = 0
+        while lo < m:
+            hi = int(np.searchsorted(cum, cum[lo] + _TFDOT_CHUNK_ELEMS))
+            hi = max(hi - 1, lo + 1)
+            sl = slice(lo, hi)
+            tot = int(cum[hi] - cum[lo])
+            if tot:
+                cl = q_lens[sl]
+                pidx = np.repeat(np.arange(lo, hi, dtype=np.int64), cl)
+                # ragged arange into the right-side concatenation
+                ends = np.cumsum(cl)
+                local = np.arange(tot, dtype=np.int64) - np.repeat(
+                    ends - cl, cl
+                )
+                idx = np.repeat(roff[up_r[sl]], cl) + local
+                qkeys = (up_l[pidx] << 32) | (
+                    rh[idx].astype(np.int64) + (1 << 31)
+                )
+                pos = np.minimum(
+                    np.searchsorted(lkeys, qkeys), len(lkeys) - 1
+                )
+                hit = lkeys[pos] == qkeys
+                if hit.any():
+                    contrib = lq[pos[hit]].astype(np.float64) * rq[
+                        idx[hit]
+                    ].astype(np.float64)
+                    dots_u[sl] += np.bincount(
+                        pidx[hit] - lo, weights=contrib, minlength=hi - lo
+                    )
+            lo = hi
+    dots_u = dots_u * lsc[up_l] * rsc[up_r]
+    dots = dots_u[inv]
+    den = lnorm[l_codes] * rnorm[r_codes]
+    with np.errstate(invalid="ignore", divide="ignore"):
+        coss = np.where(den > 0, dots / den, 0.0)
+    return dots, coss
+
+
 def side_features_onepass(
     reps: DataFrame, idf: dict[int, float], cfg: AmpConfig = DEFAULT_CONFIG
 ) -> DataFrame:
@@ -529,37 +653,14 @@ def score_pairs_onepass(
                     embc = np.where(
                         den > 0, (le_m * re_m).sum(axis=1) / den, 0.0
                     )
-            # tfblobs repeat across pairs (every record scores against
-            # many candidates): unpack each DISTINCT blob once via
-            # factorize instead of 6 frombuffer calls per pair
-            l_codes, l_blobs = pd.factorize(pdf["l_tfblob"])
-            r_codes, r_blobs = pd.factorize(pdf["r_tfblob"])
-            l_un = [unpack_tfblob(b) for b in l_blobs]
-            r_un = [unpack_tfblob(b) for b in r_blobs]
-            for i in range(n):
-                lh, lq, lsc, ln_ = l_un[l_codes[i]]
-                rh, rq, rsc, rn_ = r_un[r_codes[i]]
-                # hash arrays arrive sorted+unique from pack_tfblob:
-                # searchsorted intersection, no per-pair re-sort
-                # (np.intersect1d sorts the concatenation every call)
-                if len(lh) and len(rh):
-                    pos = np.searchsorted(lh, rh)
-                    pos_c = np.minimum(pos, len(lh) - 1)
-                    mask = lh[pos_c] == rh
-                    if mask.any():
-                        d = float(
-                            np.dot(
-                                lq[pos_c[mask]].astype(np.float64),
-                                rq[mask].astype(np.float64),
-                            )
-                        ) * lsc * rsc
-                    else:
-                        d = 0.0
-                else:
-                    d = 0.0
-                dots[i] = d
-                denom = ln_ * rn_
-                coss[i] = d / denom if denom > 0 else 0.0
+            # tf-idf dot/cosine: fully vectorized sorted-hash
+            # intersection over DISTINCT (l, r) blob pairs — bit-exact
+            # twin of the scalar per-pair searchsorted loop (see
+            # tfblob_dots_batch); no Python statement runs per pair
+            if n:
+                dots, coss = tfblob_dots_batch(
+                    pdf["l_tfblob"], pdf["r_tfblob"]
+                )
             if n:
                 # batch-vectorized Jaro-Winkler + Levenshtein (bit-exact
                 # twin of the scalar functions; see stem_sims_batch)

@@ -195,14 +195,11 @@ def make_handler(service: MatchService):
                 payload = {"counters": counters}
                 root = getattr(service, "checkpoint_root", None)
                 if root:
-                    try:
-                        from .checkpoint import CheckpointManager
+                    # pure directory read — a GET must not makedirs or
+                    # mutate session Spark conf (ADVICE r4)
+                    from .checkpoint import read_manifest_dir
 
-                        payload["manifest"] = CheckpointManager(
-                            service.spark, root, run_id=0
-                        ).manifest()
-                    except OSError:
-                        payload["manifest"] = []
+                    payload["manifest"] = read_manifest_dir(root)
                 self._send(200, payload)
             else:
                 self._send(404, {"error": "not found"})
@@ -287,6 +284,7 @@ class PooledHTTPServer(HTTPServer):
         import queue
 
         super().__init__(addr, handler_cls)
+        self._closing = False
         self._q: "queue.Queue" = queue.Queue(maxsize=2 * max_workers)
         self._workers = [
             threading.Thread(
@@ -298,12 +296,20 @@ class PooledHTTPServer(HTTPServer):
             t.start()
 
     def process_request(self, request, client_address):
+        if self._closing:
+            self.shutdown_request(request)
+            return
         self._q.put((request, client_address))
 
     def _worker_loop(self):
         while True:
             item = self._q.get()
-            if item is None:
+            if item is None or self._closing:
+                # drop a socket raced in after close began: shut it
+                # down rather than serving past server_close (ADVICE r4)
+                if item is not None:
+                    self.shutdown_request(item[0])
+                    continue
                 return
             request, client_address = item
             try:
@@ -314,7 +320,20 @@ class PooledHTTPServer(HTTPServer):
                 self.shutdown_request(request)
 
     def server_close(self):
+        import queue
+
         super().server_close()
+        # ADVICE r4: drain still-queued sockets FIRST (a dead worker
+        # would otherwise strand them behind the sentinels — fd leak),
+        # shut each down, then unblock every worker with a sentinel.
+        self._closing = True
+        while True:
+            try:
+                item = self._q.get_nowait()
+            except queue.Empty:
+                break
+            if item is not None:
+                self.shutdown_request(item[0])
         for _ in self._workers:
             self._q.put(None)
 

@@ -125,6 +125,119 @@ def test_stem_sims_batch_known_values_and_duplicates():
     assert jw[5] == 0.0  # None coerced to ""
 
 
+def _scalar_tfblob_dots(l_blobs, r_blobs):
+    """The pre-vectorization per-pair loop, kept verbatim as the spec
+    for tfblob_dots_batch (bit-exact twin requirement)."""
+    import numpy as np
+
+    from amp.scoring import unpack_tfblob
+
+    dots, coss = [], []
+    for lb, rb in zip(l_blobs, r_blobs):
+        lh, lq, lsc, ln_ = unpack_tfblob(lb)
+        rh, rq, rsc, rn_ = unpack_tfblob(rb)
+        if len(lh) and len(rh):
+            pos = np.searchsorted(lh, rh)
+            pos_c = np.minimum(pos, len(lh) - 1)
+            mask = lh[pos_c] == rh
+            if mask.any():
+                d = float(
+                    np.dot(
+                        lq[pos_c[mask]].astype(np.float64),
+                        rq[mask].astype(np.float64),
+                    )
+                ) * lsc * rsc
+            else:
+                d = 0.0
+        else:
+            d = 0.0
+        dots.append(d)
+        denom = ln_ * rn_
+        coss.append(d / denom if denom > 0 else 0.0)
+    return dots, coss
+
+
+_blob_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=-(2**31), max_value=2**31 - 1),
+        # exact zeros + well-scaled weights (a subnormal wmax overflows
+        # pack_tfblob's fixed-point scale — not reachable from real
+        # tf-idf weights, so keep the strategy in the supported domain)
+        st.one_of(
+            st.just(0.0), st.floats(min_value=1e-3, max_value=10.0)
+        ),
+    ),
+    min_size=0,
+    max_size=12,
+)
+
+
+def _build_blob(entries):
+    import numpy as np
+
+    from amp.scoring import pack_tfblob
+
+    if not entries:
+        return pack_tfblob(np.zeros(0, dtype=np.int32), np.zeros(0))
+    hashes = np.unique(np.array([h for h, _ in entries], dtype=np.int32))
+    ws = np.array([w for _, w in entries][: len(hashes)], dtype=np.float64)
+    if len(ws) < len(hashes):
+        ws = np.pad(ws, (0, len(hashes) - len(ws)), constant_values=1.0)
+    return pack_tfblob(hashes, ws)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(_blob_strategy, min_size=1, max_size=6),
+    st.data(),
+)
+def test_tfblob_dots_batch_bit_exact_vs_scalar(blob_specs, data):
+    """The vectorized composite-key searchsorted intersection must
+    reproduce the scalar per-pair loop BIT-FOR-BIT: weight products are
+    int16*int16 sums exactly representable in float64, so any drift is
+    a logic bug, and the er_pipeline oracle hash tolerates zero."""
+    import pandas as pd
+
+    from amp.scoring import tfblob_dots_batch
+
+    blobs = [_build_blob(s) for s in blob_specs]
+    n_pairs = data.draw(st.integers(min_value=0, max_value=25))
+    idx = st.integers(min_value=0, max_value=len(blobs) - 1)
+    l_sel = [blobs[data.draw(idx)] for _ in range(n_pairs)]
+    r_sel = [blobs[data.draw(idx)] for _ in range(n_pairs)]
+    dots_b, coss_b = tfblob_dots_batch(pd.Series(l_sel), pd.Series(r_sel))
+    dots_s, coss_s = _scalar_tfblob_dots(l_sel, r_sel)
+    assert list(dots_b) == dots_s
+    assert list(coss_b) == coss_s
+
+
+def test_tfblob_dots_batch_chunked_and_null_guard(monkeypatch):
+    """The memory-capped chunking path must produce identical results,
+    and a null blob (outer-join feed) must raise instead of silently
+    scoring another record's features (ADVICE r4)."""
+    import numpy as np
+    import pandas as pd
+
+    import amp.scoring as scoring
+
+    rng = np.random.RandomState(7)
+    blobs = []
+    for _ in range(8):
+        k = rng.randint(0, 30)
+        hashes = np.unique(rng.randint(-(2**31), 2**31 - 1, size=k).astype(np.int32))
+        blobs.append(scoring.pack_tfblob(hashes, rng.rand(len(hashes)) * 5))
+    l = pd.Series([blobs[rng.randint(0, 8)] for _ in range(200)])
+    r = pd.Series([blobs[rng.randint(0, 8)] for _ in range(200)])
+    d0, c0 = scoring.tfblob_dots_batch(l, r)
+    monkeypatch.setattr(scoring, "_TFDOT_CHUNK_ELEMS", 7)
+    d1, c1 = scoring.tfblob_dots_batch(l, r)
+    assert list(d0) == list(d1) and list(c0) == list(c1)
+    ds, cs = _scalar_tfblob_dots(list(l), list(r))
+    assert list(d0) == ds and list(c0) == cs
+    with pytest.raises(ValueError, match="null tfblob"):
+        scoring.tfblob_dots_batch(pd.Series([blobs[0], None]), pd.Series([blobs[1], blobs[2]]))
+
+
 def test_embeddings_unit_norm_and_deterministic(spark):
     reps = spark.createDataFrame(
         [("r1", "def foo bar"), ("r2", "def foo bar"), ("r3", "")],

@@ -304,3 +304,68 @@ def test_duplicates_cache_hit_serves_during_refresh(
     release.set()
     t.join(timeout=120)
     assert not t.is_alive()
+
+
+def test_metrics_get_is_side_effect_free(spark, small_corpus, service, tmp_path):
+    """GET /metrics on a service with a checkpoint_root must not
+    makedirs under the root or mutate session Spark conf (ADVICE r4:
+    the old path constructed a CheckpointManager per request)."""
+    from amp.serve import serve
+
+    root = str(tmp_path / "ck_never_written")
+    service.checkpoint_root = root
+    before = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    httpd = serve(service, port=0)
+    try:
+        port = httpd.server_address[1]
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/metrics") as r:
+            m = json.load(r)
+        assert m["manifest"] == []
+        import os
+
+        assert not os.path.exists(root), "read-only GET created directories"
+        assert (
+            spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+            == before
+        )
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+        delattr(service, "checkpoint_root")
+
+
+def test_server_close_drains_queued_sockets(spark, small_corpus, service):
+    """server_close must shut down still-queued connections instead of
+    leaving them for (possibly exited) workers — fd leak at shutdown
+    (ADVICE r4). Simulated with sentinel sockets queued directly."""
+    from amp.serve import PooledHTTPServer, make_handler
+
+    httpd = PooledHTTPServer(("127.0.0.1", 0), make_handler(service), max_workers=2)
+    closed = []
+
+    class FakeSock:
+        def __init__(self, name):
+            self.name = name
+
+    httpd.shutdown_request = lambda req: closed.append(
+        req.name if isinstance(req, FakeSock) else "real"
+    )
+    # the accept loop was never started (no serve_forever — calling
+    # shutdown() here would wait forever on the never-set is_shut_down
+    # event); stuff the hand-off queue as if connections raced in
+    for i in range(3):
+        httpd._q.put((FakeSock(f"s{i}"), ("127.0.0.1", 40000 + i)))
+    httpd.server_close()
+    import time as _time
+
+    deadline = _time.time() + 10
+    while len([c for c in closed if c.startswith("s")]) < 3 and _time.time() < deadline:
+        _time.sleep(0.05)
+    assert sorted(c for c in closed if c.startswith("s")) == ["s0", "s1", "s2"]
+    # workers must exit on the sentinels
+    for t in httpd._workers:
+        t.join(timeout=10)
+        assert not t.is_alive()
+    # post-close connections are refused at process_request
+    httpd.process_request(FakeSock("late"), ("127.0.0.1", 1))
+    assert "late" in closed
