@@ -28,7 +28,7 @@ from pyspark.sql import SparkSession
 
 from . import io as amp_io
 from .config import AmpConfig, DEFAULT_CONFIG
-from .incremental import MatchIndex, build_index, match_records
+from .incremental import MatchIndex, append_records, build_index, match_records
 
 REQUIRED_FIELDS = ("repo", "path", "commit", "lang", "content")
 
@@ -47,11 +47,16 @@ class MatchService:
         # exists so concurrent /duplicates callers run the pipeline once,
         # not once each (double-checked inside the lock)
         self._dup_compute_lock = threading.Lock()
+        # appends are serialized against each other (each builds on the
+        # current index); matches/duplicates are NOT blocked — they keep
+        # reading the old index reference until the atomic swap
+        self._append_lock = threading.Lock()
         # request counters surfaced by /metrics (reference middleware
         # analog, pkg/api/middleware.go:41-48)
         self.metrics: dict[str, int] = {
             "match_requests": 0,
             "duplicates_requests": 0,
+            "append_requests": 0,
             "errors": 0,
         }
 
@@ -97,6 +102,52 @@ class MatchService:
         out = match_records(self.index, q, run_id=self._next_run_id(), top_n=top_n)
         return amp_io.results_json(out)
 
+    def append(self, records: list[dict], policy: str = "frozen") -> dict:
+        """POST /api/v1/index/append: extend the live index with new
+        records WITHOUT a rebuild (the reference's periodic S3 resync,
+        cmd/addressmatchpro/main.go:73-90, truncates + reloads; here the
+        run-0 extension is incremental via amp.incremental.append_records
+        with its frozen-vs-refresh IDF policy).
+
+        Concurrency contract: appends serialize on ``_append_lock``;
+        in-flight match/duplicates requests keep the index reference they
+        already read (its DataFrames stay valid — localCheckpointed), and
+        the new index is swapped in atomically under ``_lock``. The
+        pinned duplicates cache is invalidated on swap (the cluster table
+        no longer reflects the index), so the next /duplicates call
+        recomputes over the extended index."""
+        for r in records:
+            if not isinstance(r, dict):
+                raise ValueError("each record must be a JSON object")
+            missing = [f for f in REQUIRED_FIELDS if f not in r]
+            if missing:
+                raise ValueError(f"missing fields: {missing}")
+        if not records:
+            raise ValueError("append: empty record list")
+        if self.index.uses_provided_embeddings:
+            # the embeddings table is keyed by record_id, which is only
+            # assigned during normalize — a JSON body can't carry it;
+            # provided-embedding indexes append via the library API
+            raise ValueError(
+                "append over HTTP is not supported for provided-embedding "
+                "indexes; use amp.incremental.append_records directly"
+            )
+        files = self.spark.createDataFrame(
+            [(r["repo"], r["path"], r["commit"], r["lang"], r["content"]) for r in records],
+            "repo string, path string, commit string, lang string, content string",
+        )
+        with self._append_lock:
+            new_index = append_records(self.index, files, policy=policy)
+            n_total = new_index.records.count()
+            with self._lock:
+                self.index = new_index
+                self.metrics["append_requests"] += 1
+                self.metrics["index_records"] = int(n_total)
+                old_dup, self._dup_df = self._dup_df, None
+            if old_dup is not None:
+                old_dup.unpersist()
+        return {"appended": len(records), "index_records": int(n_total)}
+
     def duplicates(self, limit: int = 1000, refresh: bool = False) -> list[dict]:
         """POST /api/v1/duplicates: cluster the index's own records
         (reference self-match semantics, pkg/api/handler.go:82-102 —
@@ -130,12 +181,16 @@ class MatchService:
             if df is None:
                 from .pipeline import run_pipeline
 
+                # pin the index reference for the whole compute: an
+                # append may swap self.index mid-run, and the result
+                # must then NOT be cached (it describes the old index)
+                idx = self.index
                 out = run_pipeline(
                     self.spark,
                     # records were normalized already; rebuild from raw shape
                     # is not needed — cluster the representatives' match graph
-                    self._index_files_view(),
-                    self.index.cfg,
+                    self._index_files_view(idx),
+                    idx.cfg,
                 )
                 # persist (not localCheckpoint): materialized once via
                 # count(), and unpersist() genuinely frees the old pin
@@ -148,24 +203,36 @@ class MatchService:
                 from pyspark.sql import functions as F
 
                 n_dropped = (
-                    _blocking.dropped_blocks(out["block_stats"], self.index.cfg)
+                    _blocking.dropped_blocks(out["block_stats"], idx.cfg)
                     .count()
                 )
+                cached = False
                 with self._lock:
-                    old, self._dup_df = self._dup_df, df
-                    self.metrics["dropped_blocks"] = int(n_dropped)
+                    if self.index is idx:
+                        old, self._dup_df = self._dup_df, df
+                        cached = True
+                        self.metrics["dropped_blocks"] = int(n_dropped)
+                    else:
+                        old = None
                 if old is not None and old is not df:
                     old.unpersist()
+                if not cached:
+                    # index swapped mid-compute (append): serve this
+                    # response, leave the cache invalidated, and free
+                    # the stale pin once its rows are collected
+                    rows = amp_io.results_json(df, limit=limit)
+                    df.unpersist()
+                    return rows
         return amp_io.results_json(df, limit=limit)
 
-    def _index_files_view(self):
+    def _index_files_view(self, index: MatchIndex | None = None):
         # records table carries the original (repo, path, commit, lang)
         # plus norm_text; reconstruct the pipeline input contract from
         # the stored records (content == norm_text is acceptable for
         # self-dedup: ids and clustering keys derive from it identically)
         from pyspark.sql import functions as F
 
-        return self.index.records.select(
+        return (index or self.index).records.select(
             "repo", "path", "commit", "lang", F.col("norm_text").alias("content")
         )
 
@@ -249,6 +316,19 @@ def make_handler(service: MatchService):
                         200,
                         {"clusters": service.duplicates(limit=limit, refresh=refresh)},
                     )
+                elif self.path == "/api/v1/index/append":
+                    # body: {"records": [...], "policy": "frozen"|"refresh"}
+                    # or a bare JSON list of records (frozen policy)
+                    if isinstance(payload, list):
+                        records, policy = payload, "frozen"
+                    elif isinstance(payload, dict):
+                        records = payload.get("records")
+                        policy = payload.get("policy", "frozen")
+                    else:
+                        raise ValueError("append body must be a list or object")
+                    if not isinstance(records, list):
+                        raise ValueError('append body needs a "records" list')
+                    self._send(200, service.append(records, policy=policy))
                 else:
                     self._send(404, {"error": "not found"})
             except ValueError as e:

@@ -4,6 +4,7 @@ derivation for new domains."""
 from __future__ import annotations
 
 import json
+import urllib.error
 import urllib.request
 
 import pytest
@@ -369,3 +370,71 @@ def test_server_close_drains_queued_sockets(spark, small_corpus, service):
     # post-close connections are refused at process_request
     httpd.process_request(FakeSock("late"), ("127.0.0.1", 1))
     assert "late" in closed
+
+
+def test_http_index_append_e2e(spark, small_corpus):
+    """Round-5 task: POST /index/append extends the live index — the
+    appended record becomes findable by /match, /metrics reflects the
+    new index size, and the duplicates cache is invalidated."""
+    from amp.serve import MatchService, serve
+
+    files, _ = small_corpus
+    svc = MatchService.from_files(spark, files)  # private: append mutates
+    n0 = svc.index.records.count()
+    # warm the duplicates cache so the append has something to invalidate
+    svc.duplicates(limit=5)
+    assert svc._dup_df is not None
+    httpd = serve(svc, port=0)
+    try:
+        port = httpd.server_address[1]
+        new_rec = {
+            "repo": "appended/repo",
+            "path": "brand/new/file.py",
+            "commit": "a" * 40,
+            "lang": "python",
+            "content": "def appended_unique_marker():\n    return 'zxqv_97531'\n",
+        }
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/api/v1/index/append",
+            data=json.dumps({"records": [new_rec]}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req) as r:
+            body = json.loads(r.read())
+        assert body == {"appended": 1, "index_records": n0 + 1}
+        assert svc._dup_df is None, "append must invalidate the dup cache"
+
+        # the appended record is now matchable over HTTP
+        q = dict(new_rec, repo="query/repo", commit="b" * 40)
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/api/v1/match",
+            data=json.dumps(q).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req) as r:
+            matches = json.loads(r.read())["matches"]
+        assert matches, "query equal to the appended record must match it"
+        best = min(matches, key=lambda m: m["rank"])
+        assert best["score"] > 0.9
+
+        # /metrics carries the counters + index size gauge
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/metrics") as r:
+            counters = json.loads(r.read())["counters"]
+        assert counters["append_requests"] == 1
+        assert counters["index_records"] == n0 + 1
+
+        # malformed body is a 400, duplicate record_id append is a 400
+        for bad in ({"records": "nope"}, [new_rec]):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/api/v1/index/append",
+                data=json.dumps(bad).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            try:
+                urllib.request.urlopen(req)
+                raise AssertionError("expected HTTP 400")
+            except urllib.error.HTTPError as e:
+                assert e.code == 400
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
