@@ -286,6 +286,20 @@ def _decode_image_status(
             if allow_fake:
                 return _fake_grid(raw), "fake", fmt
             return None, "corrupt", fmt
+    if fmt == "jpeg":
+        # pure-Python baseline decoder (amp.jpeg, ITU T.81): real decode
+        # for the dominant real-world format without Pillow. Progressive
+        # and arithmetic-coded files raise ValueError("unsupported ...")
+        # and are counted as unsupported, torn/garbled ones as corrupt.
+        from . import jpeg as _jpeg
+
+        try:
+            return _resize8(_jpeg.decode_gray(raw)), "real", fmt
+        except Exception as e:
+            if allow_fake:
+                return _fake_grid(raw), "fake", fmt
+            status = "unsupported" if "unsupported" in str(e) else "corrupt"
+            return None, status, fmt
     # no real decoder for this format in the current ladder
     if allow_fake:
         return _fake_grid(raw), "fake", fmt

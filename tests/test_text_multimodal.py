@@ -76,11 +76,17 @@ def test_decode_status_mixed_corpus_counted_never_raises(spark, monkeypatch):
     good_png = mm.png_encode(
         np.arange(64, dtype=np.uint8).reshape(8, 8), filter_type=2
     )
+    from amp import jpeg as amp_jpeg
+
+    good_jpeg = amp_jpeg.encode_gray(
+        (np.arange(300, dtype=np.uint16).reshape(15, 20) % 256).astype(np.uint8)
+    )
     rows = [
         ("ok0", good_png),
         ("ok1", mm.png_encode(np.zeros((4, 4), np.uint8))),
         ("corrupt0", good_png[: len(good_png) // 2]),      # torn PNG
-        ("jpeg0", b"\xff\xd8\xff\xe0" + b"\x00" * 32),     # JPEG stub
+        ("jpeg0", b"\xff\xd8\xff\xe0" + b"\x00" * 32),     # torn JPEG
+        ("jpeg1", good_jpeg),                              # real baseline JPEG
         ("webp0", b"RIFF\x00\x00\x00\x00WEBPVP8 "),        # WebP stub
         ("junk0", b"not an image at all"),
     ]
@@ -101,8 +107,12 @@ def test_decode_status_mixed_corpus_counted_never_raises(spark, monkeypatch):
         assert feats["ok1"]["decode_status"] == "real"
         assert feats["corrupt0"]["decode_status"] == "corrupt"
         assert feats["corrupt0"]["feature"] is None
-        assert feats["jpeg0"]["decode_status"] == "unsupported"
+        # baseline JPEG now REALLY decodes via amp.jpeg (no Pillow);
+        # the torn stub is corrupt-as-data, not a crash
+        assert feats["jpeg0"]["decode_status"] == "corrupt"
         assert feats["jpeg0"]["fmt"] == "jpeg"
+        assert feats["jpeg1"]["decode_status"] == "real"
+        assert feats["jpeg1"]["feature"] is not None
         assert feats["webp0"]["fmt"] == "webp"
         assert feats["junk0"]["decode_status"] == "unsupported"
         assert feats["junk0"]["fmt"] == "unknown"
@@ -111,7 +121,7 @@ def test_decode_status_mixed_corpus_counted_never_raises(spark, monkeypatch):
             for r in mm.decode_metrics(mm.extract_features(media)).collect()
         }
         assert m[("real", "png")] == 2 and m[("corrupt", "png")] == 1
-        assert m[("unsupported", "jpeg")] == 1
+        assert m[("real", "jpeg")] == 1 and m[("corrupt", "jpeg")] == 1
         assert m[("unsupported", "webp")] == 1
         assert m[("unsupported", "unknown")] == 1
 
