@@ -33,7 +33,31 @@ PHASES = [
 ]
 
 
-def run_phases(cpus: int, n_base: int) -> dict:
+def _stage_snapshot(spark) -> dict[int, dict]:
+    """Completed-stage metrics from the UI REST API (requires the UI
+    enabled). Keyed by stage id; used to attribute stages to phases."""
+    import urllib.request
+
+    ui = spark.sparkContext.uiWebUrl
+    app_id = spark.sparkContext.applicationId
+    with urllib.request.urlopen(
+        f"{ui}/api/v1/applications/{app_id}/stages?status=complete"
+    ) as r:
+        stages = json.load(r)
+    return {
+        s["stageId"]: {
+            "name": s.get("name", "")[:60],
+            "tasks": s.get("numCompleteTasks", 0),
+            "exec_sec": round(s.get("executorRunTime", 0) / 1e3, 2),
+            "shuf_read_mb": round(s.get("shuffleReadBytes", 0) / 1e6, 1),
+            "shuf_write_mb": round(s.get("shuffleWriteBytes", 0) / 1e6, 1),
+            "input_mb": round(s.get("inputBytes", 0) / 1e6, 1),
+        }
+        for s in stages
+    }
+
+
+def run_phases(cpus: int, n_base: int, stages: bool = False) -> dict:
     from bench import _corpus_path, _warmup
     from amp import blocking, cluster, normalize, rank, scoring
     from amp.config import DEFAULT_CONFIG as cfg
@@ -42,15 +66,27 @@ def run_phases(cpus: int, n_base: int) -> dict:
     from pyspark.sql import functions as F
 
     mult = 4 if n_base >= 50_000 else 1
-    spark = get_spark("phase-scaling", cpus=cpus, shuffle_partitions=cpus * mult)
+    spark = get_spark(
+        "phase-scaling", cpus=cpus, shuffle_partitions=cpus * mult,
+        extra_conf={"spark.ui.enabled": "true"} if stages else None,
+    )
     path = _corpus_path(spark, n_base)
     _warmup(spark)
     t: dict[str, float] = {}
+    phase_stages: dict[str, list] = {}
+    seen_ids: set[int] = set()
+    if stages:
+        seen_ids = set(_stage_snapshot(spark))  # exclude warmup stages
 
     def timed(name, thunk):
         t0 = time.time()
         out = thunk()
         t[name] = round(time.time() - t0, 2)
+        if stages:
+            snap = _stage_snapshot(spark)
+            new = sorted(set(snap) - seen_ids)
+            seen_ids.update(new)
+            phase_stages[name] = [dict(snap[i], stage=i) for i in new]
         return out
 
     files = spark.read.parquet(path)
@@ -163,10 +199,13 @@ def run_phases(cpus: int, n_base: int) -> dict:
 
     n_pairs, n_clusters = timed("counts", _counts)
     total = round(sum(t.values()), 2)
-    return {
+    out = {
         "cpus": cpus, "phases": t, "total": total,
         "records": n_rows, "pairs": n_pairs, "clusters": n_clusters,
     }
+    if stages:
+        out["phase_stages"] = phase_stages
+    return out
 
 
 def main() -> None:
@@ -177,10 +216,13 @@ def main() -> None:
     ap.add_argument("--lo", type=int, default=2)
     ap.add_argument("--hi", type=int, default=8)
     ap.add_argument("--cooldown", type=int, default=45)
+    ap.add_argument("--stages", action="store_true",
+                    help="attribute completed Spark stages (exec time, "
+                         "shuffle bytes) to each phase via the UI REST API")
     args = ap.parse_args()
 
     if not args.both:
-        print(json.dumps(run_phases(args.cpus, args.n_base)))
+        print(json.dumps(run_phases(args.cpus, args.n_base, stages=args.stages)))
         return
 
     results = {}
@@ -193,7 +235,8 @@ def main() -> None:
             env.setdefault("AMP_LOCAL_DIR", "/dev/shm/amp_spark_local")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__),
-             "--cpus", str(cpus), "--n-base", str(args.n_base)],
+             "--cpus", str(cpus), "--n-base", str(args.n_base)]
+            + (["--stages"] if args.stages else []),
             capture_output=True, text=True, env=env,
             cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         )
