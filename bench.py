@@ -220,6 +220,10 @@ def bench_once(
     # 17k-record run).
     n_base = er_base if er_base else _er_scale(sf)
     mult = 4 if n_base >= 50_000 else 1
+    # experiment hook: shuffle-granularity A/B (round-5 compression-
+    # granularity finding — see BENCH/BASELINE.md round-5 section)
+    if os.environ.get("AMP_SHUFFLE_MULT"):
+        mult = int(os.environ["AMP_SHUFFLE_MULT"])
     spark = get_spark(
         "amp-bench", cpus=cpus, shuffle_partitions=cpus * mult, extra_conf=extra
     )

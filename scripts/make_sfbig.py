@@ -1,18 +1,23 @@
 """Synthesize a 10x-scale documents/embeddings directory from sf0.1 for
 the round-5 oracle drift spot-check (VERDICT r4 next-round task 6).
 
-Each copy k>0 suffixes EVERY token with "_k" and offsets doc_id by
-k*100000, so copies are mutually non-matching shards: total volume is
-10x (tests volume-dependent code paths — sampling thresholds, the
-contamination broadcast gate crossing to the shuffled join, CC driver
-cutoff pressure, AQE replans) while each oracle's cost stays ~10x
-sf0.1, not quadratic. Density drift (denser near-dup clusters) is NOT
-exercised by construction — noted in the committed log. The id stride
-is ≡ 0 (mod 20), preserving the contamination query's doc_id%20
-eval/train split per copy. n_chars is recomputed to stay consistent
-with the mutated text. Other tables are symlinked from sf0.1 (the
-checked queries only read documents/embeddings; the symlinks satisfy
-check_oracles' view registration).
+Each copy k>0 suffixes EVERY token with "qK" (alphanumeric — it must
+SURVIVE the engine's [^a-z0-9]+ tokenizer; an underscore suffix splits
+off and the copies' shingle sets then merge into 10x blocks and
+quadratic pairs — measured: 56,159,813 LSH candidate pairs, which the
+oracle verified hash-exact in 931 s before this fix, see
+BENCH/SFBIG_ORACLES_r5.md) and offsets doc_id by k*100000, so copies
+are mutually non-matching shards: total volume is 10x (tests
+volume-dependent code paths — sampling thresholds, the contamination
+broadcast gate crossing to the shuffled join, CC driver cutoff
+pressure, AQE replans) while each oracle's cost stays ~10x sf0.1, not
+quadratic. Density drift (denser near-dup clusters) is NOT exercised
+by construction — the underscore run above covers the quadratic case.
+The id stride is ≡ 0 (mod 20), preserving the contamination query's
+doc_id%20 eval/train split per copy. n_chars is recomputed to stay
+consistent with the mutated text. Other tables are symlinked from
+sf0.1 (the checked queries only read documents/embeddings; the
+symlinks satisfy check_oracles' view registration).
 
 Usage: python scripts/make_sfbig.py [out_dir] [copies]
 """
@@ -46,9 +51,9 @@ def main() -> None:
         else:
             parts.append(
                 f"SELECT doc_id + {k * 100000} AS doc_id, "
-                f"regexp_replace(text, '(\\S+)', '\\1_{k}', 'g') AS text, "
+                f"regexp_replace(text, '(\\S+)', '\\1q{k}', 'g') AS text, "
                 f"lang, source, "
-                f"CAST(length(regexp_replace(text, '(\\S+)', '\\1_{k}', 'g')) AS BIGINT) AS n_chars "
+                f"CAST(length(regexp_replace(text, '(\\S+)', '\\1q{k}', 'g')) AS BIGINT) AS n_chars "
                 f"FROM '{SRC}/documents.parquet'"
             )
     con.execute(
