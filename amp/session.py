@@ -14,6 +14,28 @@ import os
 from pyspark.sql import SparkSession
 
 
+def shuffle_partitions_for(cpus: int, n_records: int) -> int:
+    """Shuffle-granularity policy for the ER job, measured round 5
+    (BENCH/BASELINE.md "Round-5 shuffle granularity").
+
+    Large runs: max(8, 2*cpus) — two waves per core smooth stragglers
+    at the stage barrier, while fewer reducers compress better (the
+    wide pair exchange writes 231 MB at 8 reducers vs 388 MB at 32 for
+    identical rows — larger zstd segments). Both parallelism levels of
+    the A/B measured fastest at exactly this value (local[2]: 8
+    partitions beat 2; local[8]: 16 beat both 8 and 32). Small corpora
+    keep 1x cores: per-task overhead outweighs the tail there
+    (measured +5 s on a 17k-record run).
+
+    AMP_SHUFFLE_MULT=<m> overrides to cpus*m for experiments.
+    """
+    if os.environ.get("AMP_SHUFFLE_MULT"):
+        return cpus * int(os.environ["AMP_SHUFFLE_MULT"])
+    if n_records < 50_000:
+        return cpus
+    return max(8, 2 * cpus)
+
+
 def get_spark(
     app_name: str = "amp",
     cpus: int | None = None,

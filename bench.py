@@ -207,25 +207,16 @@ def bench_once(
     er_base: int | None = None,
     with_stage_metrics: bool = False,
 ) -> dict:
-    from amp.session import get_spark
+    from amp.session import get_spark, shuffle_partitions_for
 
     extra = {"spark.ui.enabled": "true"} if with_stage_metrics else None
     sf = _sf_of(sf_dir)
-    # 4x cores of shuffle granularity on LARGE runs: with exactly one
-    # task per core a single straggler stalls the whole stage barrier
-    # (measured 72% executor utilization at local[8] vs 89% at
-    # local[2]); finer tasks smooth the tail and AQE coalesces any that
-    # end up tiny. Small corpora (the sf0.1 operator bench) keep 1x —
-    # there the per-task overhead outweighs the tail (measured +5s on a
-    # 17k-record run).
     n_base = er_base if er_base else _er_scale(sf)
-    mult = 4 if n_base >= 50_000 else 1
-    # experiment hook: shuffle-granularity A/B (round-5 compression-
-    # granularity finding — see BENCH/BASELINE.md round-5 section)
-    if os.environ.get("AMP_SHUFFLE_MULT"):
-        mult = int(os.environ["AMP_SHUFFLE_MULT"])
     spark = get_spark(
-        "amp-bench", cpus=cpus, shuffle_partitions=cpus * mult, extra_conf=extra
+        "amp-bench",
+        cpus=cpus,
+        shuffle_partitions=shuffle_partitions_for(cpus, n_base),
+        extra_conf=extra,
     )
     er = run_er_pipeline(spark, er_base if er_base else _er_scale(sf))
     if with_stage_metrics:

@@ -62,12 +62,12 @@ def run_phases(cpus: int, n_base: int, stages: bool = False) -> dict:
     from amp import blocking, cluster, normalize, rank, scoring
     from amp.config import DEFAULT_CONFIG as cfg
     from amp.features import idf_map
-    from amp.session import get_spark
+    from amp.session import get_spark, shuffle_partitions_for
     from pyspark.sql import functions as F
 
-    mult = 4 if n_base >= 50_000 else 1
     spark = get_spark(
-        "phase-scaling", cpus=cpus, shuffle_partitions=cpus * mult,
+        "phase-scaling", cpus=cpus,
+        shuffle_partitions=shuffle_partitions_for(cpus, n_base),
         extra_conf={"spark.ui.enabled": "true"} if stages else None,
     )
     path = _corpus_path(spark, n_base)
