@@ -171,6 +171,10 @@ def decode_gray(data: bytes) -> np.ndarray:
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError("corrupt jpeg: expected marker")
+        # T.81 B.1.1.2: a marker may be preceded by any number of 0xFF
+        # fill bytes
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
         m = data[pos + 1]
         pos += 2
         if m == 0xD9:  # EOI
@@ -234,8 +238,39 @@ def decode_gray(data: bytes) -> np.ndarray:
     raise ValueError("corrupt jpeg: no scan data")
 
 
+def _decode_block(br, dc_tbl, ac_tbl, pred, cid):
+    """One 8x8 block's dequantization input in zigzag order (T.81
+    F.2.2); updates the DC predictor for ``cid`` in place."""
+    zz = np.zeros(64, dtype=np.float64)
+    t = dc_tbl.decode(br)
+    pred[cid] += _extend(br.get(t), t)
+    zz[0] = pred[cid]
+    k = 1
+    while k < 64:
+        rs = ac_tbl.decode(br)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            break  # EOB
+        k += r
+        if k > 63:
+            raise ValueError("corrupt jpeg: AC overrun")
+        zz[k] = _extend(br.get(s), s)
+        k += 1
+    return zz
+
+
 def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac, dri):
     h, w, comps = frame["h"], frame["w"], frame["comps"]
+    if len(scan) == 1:
+        # T.81 A.2.2: a one-component scan is NON-interleaved — one 8x8
+        # block per MCU in raster order over the component's own block
+        # grid, regardless of its sampling factors (a grayscale file
+        # that keeps 2x2 luma sampling hits this path).
+        return _decode_scan_single(data, pos, frame, scan[0], qt,
+                                   huff_dc, huff_ac, dri)
     if len(scan) != len(comps):
         raise ValueError("unsupported jpeg: non-interleaved scan")
     hmax = max(c["h"] for c in comps)
@@ -263,24 +298,8 @@ def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac, dri):
                     raise ValueError("corrupt jpeg: missing table")
                 for by in range(comp["v"]):
                     for bx in range(comp["h"]):
-                        zz = np.zeros(64, dtype=np.float64)
-                        t = dc_tbl.decode(br)
-                        pred[comp["id"]] += _extend(br.get(t), t)
-                        zz[0] = pred[comp["id"]]
-                        k = 1
-                        while k < 64:
-                            rs = ac_tbl.decode(br)
-                            r, s = rs >> 4, rs & 0xF
-                            if s == 0:
-                                if r == 15:  # ZRL
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                raise ValueError("corrupt jpeg: AC overrun")
-                            zz[k] = _extend(br.get(s), s)
-                            k += 1
+                        zz = _decode_block(br, dc_tbl, ac_tbl, pred,
+                                           comp["id"])
                         if comp is not luma:
                             continue  # chroma: bits consumed, plane unused
                         coef = np.zeros(64, dtype=np.float64)
@@ -294,6 +313,42 @@ def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac, dri):
     # its sampling equals the max; proportionally smaller otherwise)
     ch = -(-h * luma["v"] // vmax)
     cw = -(-w * luma["h"] // hmax)
+    return np.clip(plane[:ch, :cw] / 255.0, 0.0, 1.0).astype(np.float32)
+
+
+def _decode_scan_single(data, pos, frame, one, qt, huff_dc, huff_ac, dri):
+    h, w, comps = frame["h"], frame["w"], frame["comps"]
+    comp, tdc, tac = one
+    if comp is not comps[0]:
+        # a chroma-only scan cannot yield the luminance plane
+        raise ValueError("unsupported jpeg: first scan is not luminance")
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    # the component's true dimensions, then its block grid (T.81 A.1.1)
+    ch = -(-h * comp["v"] // vmax)
+    cw = -(-w * comp["h"] // hmax)
+    by_n = -(-ch // 8)
+    bx_n = -(-cw // 8)
+    try:
+        dc_tbl, ac_tbl = huff_dc[tdc], huff_ac[tac]
+        q = qt[comp["tq"]]
+    except KeyError:
+        raise ValueError("corrupt jpeg: missing table")
+    plane = np.zeros((by_n * 8, bx_n * 8), dtype=np.float32)
+    br = _BitReader(data, pos)
+    pred = {comp["id"]: 0}
+    n_mcu = 0
+    for by in range(by_n):
+        for bx in range(bx_n):
+            if dri and n_mcu and n_mcu % dri == 0:
+                br.align_restart()
+                pred[comp["id"]] = 0
+            zz = _decode_block(br, dc_tbl, ac_tbl, pred, comp["id"])
+            coef = np.zeros(64, dtype=np.float64)
+            coef[ZIGZAG] = zz
+            block = _idct2(coef.reshape(8, 8) * q) + 128.0
+            plane[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = block
+            n_mcu += 1
     return np.clip(plane[:ch, :cw] / 255.0, 0.0, 1.0).astype(np.float32)
 
 

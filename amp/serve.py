@@ -86,19 +86,28 @@ class MatchService:
         out = match_records(self.index, q, run_id=self._next_run_id(), top_n=top_n)
         return amp_io.results_json(out)
 
-    def match_batch(self, records: list[dict], top_n: int = 5) -> list[dict]:
-        """POST /api/v1/match with a JSON list (the reference's CSV
-        batch path, pkg/api/handler.go:104-163)."""
+    def _records_df(self, records: list[dict]):
+        """Validate a JSON record list and build the 5-column files
+        DataFrame — one shape for /match batch and /index/append so the
+        two endpoints cannot drift."""
         for r in records:
             if not isinstance(r, dict):
-                raise ValueError("each batch element must be a JSON object")
+                raise ValueError("each record must be a JSON object")
             missing = [f for f in REQUIRED_FIELDS if f not in r]
             if missing:
                 raise ValueError(f"missing fields: {missing}")
-        q = self.spark.createDataFrame(
-            [(r["repo"], r["path"], r["commit"], r["lang"], r["content"]) for r in records],
+        return self.spark.createDataFrame(
+            [
+                (r["repo"], r["path"], r["commit"], r["lang"], r["content"])
+                for r in records
+            ],
             "repo string, path string, commit string, lang string, content string",
         )
+
+    def match_batch(self, records: list[dict], top_n: int = 5) -> list[dict]:
+        """POST /api/v1/match with a JSON list (the reference's CSV
+        batch path, pkg/api/handler.go:104-163)."""
+        q = self._records_df(records)
         out = match_records(self.index, q, run_id=self._next_run_id(), top_n=top_n)
         return amp_io.results_json(out)
 
@@ -116,12 +125,6 @@ class MatchService:
         pinned duplicates cache is invalidated on swap (the cluster table
         no longer reflects the index), so the next /duplicates call
         recomputes over the extended index."""
-        for r in records:
-            if not isinstance(r, dict):
-                raise ValueError("each record must be a JSON object")
-            missing = [f for f in REQUIRED_FIELDS if f not in r]
-            if missing:
-                raise ValueError(f"missing fields: {missing}")
         if not records:
             raise ValueError("append: empty record list")
         if self.index.uses_provided_embeddings:
@@ -132,10 +135,7 @@ class MatchService:
                 "append over HTTP is not supported for provided-embedding "
                 "indexes; use amp.incremental.append_records directly"
             )
-        files = self.spark.createDataFrame(
-            [(r["repo"], r["path"], r["commit"], r["lang"], r["content"]) for r in records],
-            "repo string, path string, commit string, lang string, content string",
-        )
+        files = self._records_df(records)
         with self._append_lock:
             new_index = append_records(self.index, files, policy=policy)
             n_total = new_index.records.count()
@@ -365,6 +365,11 @@ class PooledHTTPServer(HTTPServer):
 
         super().__init__(addr, handler_cls)
         self._closing = False
+        # serializes the closing-flag check-then-enqueue in
+        # process_request against server_close's set-then-drain: without
+        # it a request could pass the check, lose the CPU, and enqueue
+        # AFTER the drain — stranded behind the sentinels forever
+        self._close_lock = threading.Lock()
         self._q: "queue.Queue" = queue.Queue(maxsize=2 * max_workers)
         self._workers = [
             threading.Thread(
@@ -376,10 +381,15 @@ class PooledHTTPServer(HTTPServer):
             t.start()
 
     def process_request(self, request, client_address):
-        if self._closing:
-            self.shutdown_request(request)
-            return
-        self._q.put((request, client_address))
+        # the put may block on a full queue while holding the lock;
+        # that cannot deadlock server_close: workers keep draining until
+        # they see a sentinel, and sentinels are only enqueued after
+        # server_close acquires this lock
+        with self._close_lock:
+            if not self._closing:
+                self._q.put((request, client_address))
+                return
+        self.shutdown_request(request)
 
     def _worker_loop(self):
         while True:
@@ -406,14 +416,17 @@ class PooledHTTPServer(HTTPServer):
         # ADVICE r4: drain still-queued sockets FIRST (a dead worker
         # would otherwise strand them behind the sentinels — fd leak),
         # shut each down, then unblock every worker with a sentinel.
-        self._closing = True
-        while True:
-            try:
-                item = self._q.get_nowait()
-            except queue.Empty:
-                break
-            if item is not None:
-                self.shutdown_request(item[0])
+        # The close lock makes flag-set + drain atomic against
+        # process_request's check-then-enqueue.
+        with self._close_lock:
+            self._closing = True
+            while True:
+                try:
+                    item = self._q.get_nowait()
+                except queue.Empty:
+                    break
+                if item is not None:
+                    self.shutdown_request(item[0])
         for _ in self._workers:
             self._q.put(None)
 

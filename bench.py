@@ -54,11 +54,13 @@ def _corpus_path(spark, n_base: int) -> str:
     return path
 
 
-def stage_metrics(spark, top_n: int = 12) -> tuple[list[dict], dict]:
-    """Per-stage shuffle/input bytes + executor time from the live UI
-    REST API (requires spark.ui.enabled=true) — the itemized shuffle
-    budget behind the scaling-efficiency number. Sorted by shuffle
-    read+write descending."""
+def completed_stages(spark) -> list[dict]:
+    """Raw completed-stage records from the live UI REST API (requires
+    spark.ui.enabled=true). The one fetch shared by every measurement
+    harness (stage_metrics here, scripts/phase_scaling.py,
+    scripts/probe_pairs_phase.py); scripts/riser_ab.py keeps its own
+    copy on purpose — it imports `bench` from arbitrary checkouts that
+    may predate this helper."""
     import urllib.request
 
     ui = spark.sparkContext.uiWebUrl
@@ -66,7 +68,15 @@ def stage_metrics(spark, top_n: int = 12) -> tuple[list[dict], dict]:
     with urllib.request.urlopen(
         f"{ui}/api/v1/applications/{app_id}/stages?status=complete"
     ) as r:
-        stages = json.load(r)
+        return json.load(r)
+
+
+def stage_metrics(spark, top_n: int = 12) -> tuple[list[dict], dict]:
+    """Per-stage shuffle/input bytes + executor time from the live UI
+    REST API (requires spark.ui.enabled=true) — the itemized shuffle
+    budget behind the scaling-efficiency number. Sorted by shuffle
+    read+write descending."""
+    stages = completed_stages(spark)
     rows = []
     for s in stages:
         rows.append(
@@ -218,7 +228,7 @@ def bench_once(
         shuffle_partitions=shuffle_partitions_for(cpus, n_base),
         extra_conf=extra,
     )
-    er = run_er_pipeline(spark, er_base if er_base else _er_scale(sf))
+    er = run_er_pipeline(spark, n_base)
     if with_stage_metrics:
         er["stage_metrics"], er["stage_totals"] = stage_metrics(spark)
     queries = {} if er_only else run_headline(spark, sf_dir)

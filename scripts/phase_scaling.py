@@ -36,14 +36,9 @@ PHASES = [
 def _stage_snapshot(spark) -> dict[int, dict]:
     """Completed-stage metrics from the UI REST API (requires the UI
     enabled). Keyed by stage id; used to attribute stages to phases."""
-    import urllib.request
+    from bench import completed_stages
 
-    ui = spark.sparkContext.uiWebUrl
-    app_id = spark.sparkContext.applicationId
-    with urllib.request.urlopen(
-        f"{ui}/api/v1/applications/{app_id}/stages?status=complete"
-    ) as r:
-        stages = json.load(r)
+    stages = completed_stages(spark)
     return {
         s["stageId"]: {
             "name": s.get("name", "")[:60],

@@ -13,7 +13,6 @@ import json
 import os
 import sys
 import time
-import urllib.request
 from datetime import datetime, timezone
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -46,12 +45,9 @@ sides.count()
 
 
 def stages_snapshot():
-    ui = spark.sparkContext.uiWebUrl
-    app = spark.sparkContext.applicationId
-    with urllib.request.urlopen(
-        f"{ui}/api/v1/applications/{app}/stages?status=complete"
-    ) as r:
-        return json.load(r)
+    from bench import completed_stages
+
+    return completed_stages(spark)
 
 
 def ts(s):
@@ -71,8 +67,10 @@ for rep in range(REPEATS):
         pairs, sides, cfg, n_records=n_rows
     ).localCheckpoint(eager=True)
     wall = time.time() - t0
-    n = scored.count()
+    # snapshot BEFORE count(): count's stage must not inflate `covered`
+    # past the wall window (would drive driver_gap negative)
     new = [s for s in stages_snapshot() if s["stageId"] not in before_ids]
+    n = scored.count()
     iv = sorted(
         (ts(s["submissionTime"]), ts(s["completionTime"]))
         for s in new
@@ -94,7 +92,9 @@ for rep in range(REPEATS):
         "rep": rep, "wall": round(wall, 2), "pairs": n,
         "stages": len(new), "covered": round(covered, 2),
         "driver_gap": round(wall - covered, 2),
-        "first_submission_latency": round(first_lat, 2) if first_lat else None,
+        "first_submission_latency": (
+            round(first_lat, 2) if first_lat is not None else None
+        ),
         "inter_stage_gaps": inter_gaps,
         "per_stage": [
             {

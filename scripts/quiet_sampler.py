@@ -51,8 +51,12 @@ def run_one(cpus: int, n_base: int) -> dict:
     if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
         env.setdefault("AMP_LOCAL_DIR", "/dev/shm/amp_spark_local")
     out = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO, env=env)
-    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
-    r = json.loads(line)
+    lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
+    if not lines:
+        # a failed leg must not kill the multi-hour collection run —
+        # record it and keep sampling
+        return {"error": (out.stderr or out.stdout or "no output")[-500:]}
+    r = json.loads(lines[-1])
     return {
         "wall": r["queries"]["er_pipeline"],
         "exec_sec": r.get("stage_totals", {}).get("total_exec_sec"),
@@ -80,6 +84,10 @@ def main() -> None:
                 break
             rec[f"{level}_load_before"] = load1()
             r = run_one(cpus, args.n_base)
+            if "error" in r:
+                rec[f"{level}_error"] = r["error"]
+                time.sleep(args.cooldown)
+                break
             rec[f"{level}_wall"] = r["wall"]
             rec[f"{level}_exec_sec"] = r["exec_sec"]
             rec[f"{level}_load_after"] = load1()
