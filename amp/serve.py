@@ -153,8 +153,9 @@ class MatchService:
         (reference self-match semantics, pkg/api/handler.go:82-102 —
         extended to transitive clusters per the north rule).
 
-        The index is immutable for the life of the service, so the
-        clustering is computed ONCE (full blocking+scoring+CC pipeline,
+        The index changes only through ``append`` (which invalidates
+        the cache on swap), so the clustering is computed ONCE per
+        index version (full blocking+scoring+CC pipeline,
         request-scoped like the reference's endpoint) and MATERIALIZED
         as a pinned DataFrame; every call collects only its own
         ``limit`` rows from it — interactive latency without re-running
