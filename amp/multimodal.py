@@ -1,20 +1,24 @@
 """Multimodal column plumbing: image/audio/video as opaque binary
 columns with typed metadata.
 
-The image/audio libraries are not in this container, so the *decode*
-kernels are stubs (deterministic fake or NotImplementedError behind
-AMP_FAKE_DECODE) — but the Spark-side plumbing is real and tested:
+The image libraries are not in this container, so the decode ladder
+carries its own pure-stdlib codecs: PIL when importable, else real
+decoders for PNG (RFC 2083 subset, below), baseline JPEG (amp.jpeg,
+ITU T.81) and uncompressed BMP (below); everything else degrades to a
+deterministic fake or a NULL feature with decode_status as data
+(AMP_FAKE_DECODE). The Spark-side plumbing is real and tested:
 schemas, Arrow batch shapes, mapInPandas signatures, partition-size
-control. On a real cluster only the kernel body changes (swap the fake
-for PIL/libav calls); the plan shape is already the scalable one:
-a single mapInPandas pass, no shuffle, binary payloads never leave
-the executor that read them.
+control. On a real cluster only the ladder's top rung changes (PIL/
+libav present); the plan shape is already the scalable one: a single
+mapInPandas pass, no shuffle, binary payloads never leave the executor
+that read them.
 """
 
 from __future__ import annotations
 
 import hashlib
 import os
+import struct
 import zlib
 from collections.abc import Iterator
 
@@ -186,8 +190,6 @@ def png_encode(gray: np.ndarray, filter_type: int = 0) -> bytes:
     """8-bit grayscale (H, W) uint8 -> PNG bytes. ``filter_type``
     selects the per-scanline filter (0-4) so tests can exercise every
     unfilter branch of png_decode; real encoders pick per-row."""
-    import struct
-
     arr = np.asarray(gray, dtype=np.uint8)
     h, w = arr.shape
 
@@ -230,6 +232,60 @@ def png_encode(gray: np.ndarray, filter_type: int = 0) -> bytes:
         + chunk(b"IDAT", zlib.compress(bytes(scan)))
         + chunk(b"IEND", b"")
     )
+
+
+def bmp_decode_gray(payload: bytes) -> np.ndarray:
+    """Uncompressed BMP (BITMAPINFOHEADER, BI_RGB) -> float32 (H, W)
+    grayscale in [0, 1] (ITU-R 601 luma for color, palette lookup for
+    8-bit). Public format: the Windows DIB layout — 'BM' header, pixel
+    offset at byte 10, int32 width/height (negative height = top-down),
+    rows padded to 4 bytes, bottom-up by default. Raises ValueError on
+    anything outside the 8/24/32-bpp uncompressed subset — callers
+    decide whether to fall back (same contract as png_decode)."""
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP (bad signature)")
+    (px_off,) = struct.unpack_from("<I", payload, 10)
+    (dib_size,) = struct.unpack_from("<I", payload, 14)
+    if dib_size < 40:
+        raise ValueError("unsupported bmp: pre-BITMAPINFOHEADER DIB")
+    w, h_raw = struct.unpack_from("<ii", payload, 18)
+    bpp, comp = struct.unpack_from("<HI", payload, 28)
+    if comp != 0:
+        raise ValueError("unsupported bmp: compressed (BI_RGB only)")
+    if bpp not in (8, 24, 32):
+        raise ValueError(f"unsupported bmp: {bpp} bpp")
+    if w <= 0 or h_raw == 0:
+        raise ValueError("corrupt bmp: bad dimensions")
+    top_down = h_raw < 0
+    h = -h_raw if top_down else h_raw
+    stride = (w * (bpp // 8) + 3) & ~3
+    if px_off + stride * h > len(payload):
+        raise ValueError("corrupt bmp: truncated pixel data")
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=stride * h, offset=px_off
+    ).reshape(h, stride)
+    if not top_down:
+        rows = rows[::-1]
+    if bpp == 8:
+        # palette: BGRX quads between the DIB header and the pixels
+        pal_off = 14 + dib_size
+        n_pal = (px_off - pal_off) // 4
+        if n_pal <= 0:
+            raise ValueError("corrupt bmp: missing palette")
+        pal = np.frombuffer(
+            payload, dtype=np.uint8, count=n_pal * 4, offset=pal_off
+        ).reshape(n_pal, 4).astype(np.float64)
+        idx = rows[:, :w].astype(np.int64)
+        if int(idx.max(initial=0)) >= n_pal:
+            raise ValueError("corrupt bmp: palette index out of range")
+        luma = (0.114 * pal[idx, 0] + 0.587 * pal[idx, 1]
+                + 0.299 * pal[idx, 2])
+    else:
+        nb = bpp // 8
+        px = rows[:, : w * nb].reshape(h, w, nb).astype(np.float64)
+        # pixel order is B, G, R (alpha ignored at 32 bpp)
+        luma = 0.114 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.299 * px[:, :, 2]
+    return np.clip(luma / 255.0, 0.0, 1.0).astype(np.float32)
 
 
 def _resize8(gray: np.ndarray) -> np.ndarray:
@@ -295,6 +351,16 @@ def _decode_image_status(
 
         try:
             return _resize8(_jpeg.decode_gray(raw)), "real", fmt
+        except Exception as e:
+            if allow_fake:
+                return _fake_grid(raw), "fake", fmt
+            status = "unsupported" if "unsupported" in str(e) else "corrupt"
+            return None, status, fmt
+    if fmt == "bmp":
+        # uncompressed DIB subset; RLE/bitfield variants raise
+        # "unsupported" and fall through to the status ladder
+        try:
+            return _resize8(bmp_decode_gray(raw)), "real", fmt
         except Exception as e:
             if allow_fake:
                 return _fake_grid(raw), "fake", fmt
