@@ -4,7 +4,8 @@ columns with typed metadata.
 The image libraries are not in this container, so the decode ladder
 carries its own pure-stdlib codecs: PIL when importable, else real
 decoders for PNG (RFC 2083 subset, below), baseline JPEG (amp.jpeg,
-ITU T.81) and uncompressed BMP (below); everything else degrades to a
+ITU T.81), uncompressed BMP and first-frame GIF (below); everything
+else (WebP, progressive JPEG, RLE BMP) degrades to a
 deterministic fake or a NULL feature with decode_status as data
 (AMP_FAKE_DECODE). The Spark-side plumbing is real and tested:
 schemas, Arrow batch shapes, mapInPandas signatures, partition-size
@@ -288,6 +289,134 @@ def bmp_decode_gray(payload: bytes) -> np.ndarray:
     return np.clip(luma / 255.0, 0.0, 1.0).astype(np.float32)
 
 
+def _gif_lzw_decode(min_code_size: int, data: bytes, expected: int) -> bytes:
+    """GIF-variant LZW (GIF89a spec appendix F): LSB-first variable
+    width codes, clear/end codes, table capped at 12 bits."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    width = min_code_size + 1
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    out = bytearray()
+    prev: bytes | None = None
+    bitpos = 0
+    total_bits = len(data) * 8
+    while bitpos + width <= total_bits and len(out) < expected:
+        byte_i = bitpos >> 3
+        chunk = int.from_bytes(data[byte_i:byte_i + 3], "little")
+        code = (chunk >> (bitpos & 7)) & ((1 << width) - 1)
+        bitpos += width
+        if code == clear:
+            table = list(base)
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("corrupt gif: bad first LZW code")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("corrupt gif: LZW code out of range")
+        out += entry
+        prev = entry
+        # the decoder's table lags the encoder's by one entry (the
+        # entry for the code just read is created by the NEXT code), so
+        # the width bump comes one slot early
+        if len(table) == (1 << width) - 1 and width < 12:
+            width += 1
+    if len(out) < expected:
+        raise ValueError("corrupt gif: truncated LZW stream")
+    return bytes(out[:expected])
+
+
+def gif_decode_gray(payload: bytes) -> np.ndarray:
+    """GIF87a/89a -> float32 (H, W) grayscale in [0, 1] of the FIRST
+    image frame (palette-mapped ITU-R 601 luma), at the frame's own
+    dimensions — the right summary input for an 8x8 feature grid.
+    Handles global/local color tables, interlacing and extension
+    blocks; raises ValueError outside that subset (same contract as
+    png_decode / bmp_decode_gray)."""
+    if len(payload) < 13 or payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF (bad signature)")
+    packed = payload[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x7)
+        if pos + 3 * n > len(payload):
+            raise ValueError("corrupt gif: truncated color table")
+        gct = np.frombuffer(
+            payload, dtype=np.uint8, count=3 * n, offset=pos
+        ).reshape(n, 3)
+        pos += 3 * n
+    while pos < len(payload):
+        b0 = payload[pos]
+        if b0 == 0x3B:  # trailer
+            break
+        if b0 == 0x21:  # extension: label + data sub-blocks
+            pos += 2
+            while pos < len(payload) and payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if b0 != 0x2C:
+            raise ValueError(f"corrupt gif: unknown block 0x{b0:02x}")
+        # image descriptor
+        if pos + 11 > len(payload):
+            raise ValueError("corrupt gif: truncated image descriptor")
+        w, h = struct.unpack_from("<HH", payload, pos + 5)
+        ipacked = payload[pos + 9]
+        pos += 10
+        pal = gct
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x7)
+            if pos + 3 * n > len(payload):
+                raise ValueError("corrupt gif: truncated color table")
+            pal = np.frombuffer(
+                payload, dtype=np.uint8, count=3 * n, offset=pos
+            ).reshape(n, 3)
+            pos += 3 * n
+        if pal is None:
+            raise ValueError("corrupt gif: no color table")
+        if w == 0 or h == 0:
+            raise ValueError("corrupt gif: empty frame")
+        min_code = payload[pos]
+        pos += 1
+        lzw = bytearray()
+        while pos < len(payload) and payload[pos] != 0:
+            ln = payload[pos]
+            lzw += payload[pos + 1:pos + 1 + ln]
+            pos += 1 + ln
+        idx = np.frombuffer(
+            _gif_lzw_decode(min_code, bytes(lzw), w * h), dtype=np.uint8
+        ).astype(np.int64)
+        if int(idx.max(initial=0)) >= len(pal):
+            raise ValueError("corrupt gif: palette index out of range")
+        rows = idx.reshape(h, w)
+        if ipacked & 0x40:  # interlaced: 4-pass row order
+            out_rows = np.empty_like(rows)
+            order = (
+                list(range(0, h, 8)) + list(range(4, h, 8))
+                + list(range(2, h, 4)) + list(range(1, h, 2))
+            )
+            for src_i, dst_i in enumerate(order):
+                out_rows[dst_i] = rows[src_i]
+            rows = out_rows
+        p = pal.astype(np.float64)
+        luma = (0.299 * p[rows, 0] + 0.587 * p[rows, 1]
+                + 0.114 * p[rows, 2])
+        return np.clip(luma / 255.0, 0.0, 1.0).astype(np.float32)
+    raise ValueError("corrupt gif: no image frame")
+
+
 def _resize8(gray: np.ndarray) -> np.ndarray:
     """Area-mean resize of an (H, W) grid to 8x8 (the stdlib analog of
     the PIL resize; exact resampling kernels differ between the two
@@ -356,11 +485,12 @@ def _decode_image_status(
                 return _fake_grid(raw), "fake", fmt
             status = "unsupported" if "unsupported" in str(e) else "corrupt"
             return None, status, fmt
-    if fmt == "bmp":
-        # uncompressed DIB subset; RLE/bitfield variants raise
-        # "unsupported" and fall through to the status ladder
+    if fmt in ("bmp", "gif"):
+        # uncompressed DIB subset / first-frame GIF; anything the
+        # decoder calls "unsupported" falls through as that status
+        dec = bmp_decode_gray if fmt == "bmp" else gif_decode_gray
         try:
-            return _resize8(bmp_decode_gray(raw)), "real", fmt
+            return _resize8(dec(raw)), "real", fmt
         except Exception as e:
             if allow_fake:
                 return _fake_grid(raw), "fake", fmt
