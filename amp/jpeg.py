@@ -1,25 +1,35 @@
-"""Minimal pure-Python baseline JPEG codec (ITU-T T.81, public spec).
+"""Minimal pure-Python JPEG codec (ITU-T T.81, public spec).
 
-Decoder: sequential DCT ("baseline", SOF0), 8-bit, 1-4 components,
+Decoder: sequential DCT ("baseline", SOF0/1) AND progressive DCT
+(SOF2, T.81 Annex G — spectral selection + successive approximation,
+DC/AC first and refinement scans, EOB runs), 8-bit, 1-4 components,
 sampling factors up to 4x4, restart intervals. Huffman and quant
-tables are read from the stream (DHT/DQT), so any conforming baseline
-file decodes — including real-world camera/exporter output. Returns
-the LUMINANCE plane as float32 in [0, 1]: the multimodal feature
-ladder (amp.multimodal._decode_image_status) only needs a grayscale
-grid, so chroma coefficients are entropy-decoded (the bitstream is
-interleaved — they must be consumed) but not reconstructed.
+tables are read from the stream (DHT/DQT), so any conforming
+baseline or progressive file decodes — including real-world
+camera/exporter/web output (the web's progressive JPEGs are the
+libjpeg scan scripts this module's tests reproduce). Returns the
+LUMINANCE plane as float32 in [0, 1]: the multimodal feature ladder
+(amp.multimodal._decode_image_status) only needs a grayscale grid,
+so chroma coefficients are entropy-decoded where the bitstream
+interleaves them (sequential scans, progressive DC scans) but never
+reconstructed, and non-interleaved chroma-only progressive scans are
+skipped at the byte level without entropy decoding at all.
 
-Out of scope -> ValueError("unsupported ..."): progressive (SOF2),
-arithmetic coding (SOF9+), 12-bit precision, hierarchical. The ladder
-maps that to decode_status="unsupported"/"corrupt" as data, never a
+Out of scope -> ValueError("unsupported ..."): arithmetic coding
+(SOF9+), 12-bit precision, hierarchical, lossless. The ladder maps
+that to decode_status="unsupported"/"corrupt" as data, never a
 crash (100-TB contract).
 
 Encoder: the minimum needed to TEST the decoder without Pillow —
-grayscale or RGB 4:2:0, PROGRAMMATIC Huffman tables (12 fixed-length
+grayscale or RGB 4:2:0, sequential or progressive (the 6/10-scan
+libjpeg-style scripts), PROGRAMMATIC Huffman tables (12 fixed-length
 DC codes, 256 fixed-length AC codes — valid canonical tables, not the
 Annex-K optima) and unit luma quantization, so round-trip error is
-bounded by DCT float rounding alone. Deliberately suboptimal bytes;
-correctness-test fixture generator, not a production encoder.
+bounded by DCT float rounding alone — and the progressive decode of
+an image is asserted BIT-IDENTICAL to the sequential decode, because
+successive approximation reassembles exactly the same coefficients.
+Deliberately suboptimal bytes; correctness-test fixture generator,
+not a production encoder.
 
 Reference parity note: TFMV/AddressMatchPro has no image path at all;
 this module exists for the LLM-training-data brief (multimodal
@@ -158,14 +168,18 @@ def _extend(v: int, t: int) -> int:
 
 
 def decode_gray(data: bytes) -> np.ndarray:
-    """Decode a baseline JPEG to its luminance plane, float32 in [0,1],
-    shape (h, w) from SOF0. Raises ValueError on corrupt/unsupported."""
+    """Decode a baseline or progressive JPEG to its luminance plane,
+    float32 in [0,1], shape (h, w) from SOF0/1/2. Raises ValueError on
+    corrupt/unsupported."""
     if len(data) < 4 or data[0:2] != b"\xff\xd8":
         raise ValueError("corrupt jpeg: no SOI")
     qt: dict[int, np.ndarray] = {}
     huff_dc: dict[int, _Huff] = {}
     huff_ac: dict[int, _Huff] = {}
     frame = None
+    coefs: dict[int, np.ndarray] = {}  # progressive: cid -> (by, bx, 64)
+    n_prog_scans = 0
+    saw_eoi = False
     restart_interval = 0
     pos = 2
     while pos < len(data):
@@ -178,6 +192,7 @@ def decode_gray(data: bytes) -> np.ndarray:
         m = data[pos + 1]
         pos += 2
         if m == 0xD9:  # EOI
+            saw_eoi = True
             break
         if 0xD0 <= m <= 0xD7 or m == 0x01:  # bare markers
             continue
@@ -206,7 +221,7 @@ def decode_gray(data: bytes) -> np.ndarray:
                 table = _Huff(counts, seg[i + 17:i + 17 + n])
                 (huff_dc if tc == 0 else huff_ac)[th] = table
                 i += 17 + n
-        elif m == 0xC0 or m == 0xC1:  # SOF0/1 (both sequential huffman)
+        elif m in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
             prec, h, w, nc = struct.unpack(">BHHB", seg[0:6])
             if prec != 8:
                 raise ValueError("unsupported jpeg: 12-bit precision")
@@ -214,11 +229,25 @@ def decode_gray(data: bytes) -> np.ndarray:
             for c in range(nc):
                 cid, hv, tq = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
-            frame = {"h": h, "w": w, "comps": comps}
-        elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            frame = {"h": h, "w": w, "comps": comps, "prog": m == 0xC2}
+            if m == 0xC2:
+                # progressive: coefficients accumulate across scans —
+                # one zigzag int32[64] per block, MCU-padded grid so
+                # interleaved DC scans and non-interleaved AC scans
+                # address the same storage (T.81 G.1)
+                hmax = max(c["h"] for c in comps)
+                vmax = max(c["v"] for c in comps)
+                mcux = -(-w // (8 * hmax))
+                mcuy = -(-h // (8 * vmax))
+                coefs = {
+                    c["id"]: np.zeros(
+                        (mcuy * c["v"], mcux * c["h"], 64), dtype=np.int32)
+                    for c in comps
+                }
+        elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                    0xCD, 0xCE, 0xCF):
-            raise ValueError("unsupported jpeg: progressive/arithmetic/"
-                             "hierarchical frame")
+            raise ValueError("unsupported jpeg: arithmetic/hierarchical/"
+                             "lossless frame")
         elif m == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", seg[0:2])[0]
         elif m == 0xDA:  # SOS — entropy data follows the segment
@@ -230,11 +259,32 @@ def decode_gray(data: bytes) -> np.ndarray:
                 cs, tt = seg[1 + 2 * c], seg[2 + 2 * c]
                 comp = next(x for x in frame["comps"] if x["id"] == cs)
                 scan.append((comp, tt >> 4, tt & 0xF))
-            return _decode_scan(
-                data, pos + seg_len, frame, scan, qt, huff_dc, huff_ac,
-                restart_interval,
-            )
+            if not frame["prog"]:
+                return _decode_scan(
+                    data, pos + seg_len, frame, scan, qt, huff_dc, huff_ac,
+                    restart_interval,
+                )
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            entropy = pos + seg_len
+            if not (ns == 1 and ss > 0 and scan[0][0] is not
+                    frame["comps"][0]):
+                # decode everything except chroma-only AC scans (the
+                # luminance plane never needs them, and non-interleaved
+                # entropy segments are independently skippable)
+                _decode_scan_prog(
+                    data, entropy, frame, scan, ss, se, ahal >> 4,
+                    ahal & 0xF, qt, huff_dc, huff_ac, restart_interval,
+                    coefs,
+                )
+            n_prog_scans += 1
+            pos = _entropy_end(data, entropy)
+            continue
         pos += seg_len
+    if frame is not None and frame["prog"]:
+        if n_prog_scans == 0 or not saw_eoi:
+            raise ValueError("corrupt jpeg: truncated progressive stream")
+        return _reconstruct_prog(frame, qt, coefs)
     raise ValueError("corrupt jpeg: no scan data")
 
 
@@ -349,6 +399,194 @@ def _decode_scan_single(data, pos, frame, one, qt, huff_dc, huff_ac, dri):
             block = _idct2(coef.reshape(8, 8) * q) + 128.0
             plane[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = block
             n_mcu += 1
+    return np.clip(plane[:ch, :cw] / 255.0, 0.0, 1.0).astype(np.float32)
+
+
+def _entropy_end(data: bytes, pos: int) -> int:
+    """Position of the first real marker (not a stuffed 0x00, not RSTn)
+    at or after ``pos`` — the byte-level end of an entropy-coded
+    segment, independent of whether it was decoded or skipped."""
+    i = pos
+    n = len(data)
+    while i < n:
+        if data[i] != 0xFF:
+            i += 1
+            continue
+        if i + 1 >= n:
+            return n
+        nxt = data[i + 1]
+        if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+            i += 2
+        elif nxt == 0xFF:  # fill byte before a marker
+            i += 1
+        else:
+            return i
+    return n
+
+
+def _refine_nonzero(br: _BitReader, bl: np.ndarray, k: int, se: int,
+                    p1: int, m1: int) -> None:
+    """AC refinement correction bits for every already-nonzero
+    coefficient in bl[k..se] (T.81 G.1.2.3 / figure G.7 tail)."""
+    while k <= se:
+        if bl[k]:
+            if br.get(1) and not (int(bl[k]) & p1):
+                bl[k] += p1 if bl[k] > 0 else m1
+        k += 1
+
+
+def _decode_scan_prog(data, pos, frame, scan, ss, se, ah, al,
+                      qt, huff_dc, huff_ac, dri, coefs):
+    """One progressive scan (T.81 Annex G): DC first/refine scans may
+    interleave components; AC scans are single-component over the
+    component's true block grid. Coefficients accumulate into
+    ``coefs`` at their quantized integer values (dequantization and
+    IDCT happen once, after the last scan)."""
+    h, w, comps = frame["h"], frame["w"], frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    br = _BitReader(data, pos)
+    if ss == 0:
+        if se != 0:
+            raise ValueError(
+                "corrupt jpeg: progressive scan mixes DC and AC")
+        pred = {c["id"]: 0 for c, _, _ in scan}
+        if len(scan) > 1:
+            mcux = -(-w // (8 * hmax))
+            mcuy = -(-h // (8 * vmax))
+            units = [(my, mx) for my in range(mcuy) for mx in range(mcux)]
+        else:
+            comp = scan[0][0]
+            ch = -(-h * comp["v"] // vmax)
+            cw = -(-w * comp["h"] // hmax)
+            units = [(by, bx) for by in range(-(-ch // 8))
+                     for bx in range(-(-cw // 8))]
+        for n_mcu, (uy, ux) in enumerate(units):
+            if dri and n_mcu and n_mcu % dri == 0:
+                br.align_restart()
+                for cid in pred:
+                    pred[cid] = 0
+            for comp, tdc, _ in scan:
+                blocks = (
+                    [(uy * comp["v"] + by, ux * comp["h"] + bx)
+                     for by in range(comp["v"]) for bx in range(comp["h"])]
+                    if len(scan) > 1 else [(uy, ux)]
+                )
+                for by, bx in blocks:
+                    cell = coefs[comp["id"]][by, bx]
+                    if ah == 0:  # DC first: diff-coded, scaled by 2^al
+                        try:
+                            t = huff_dc[tdc].decode(br)
+                        except KeyError:
+                            raise ValueError("corrupt jpeg: missing table")
+                        pred[comp["id"]] += _extend(br.get(t), t)
+                        cell[0] = pred[comp["id"]] << al
+                    else:  # DC refinement: one raw magnitude bit
+                        if br.get(1):
+                            cell[0] = int(cell[0]) | (1 << al)
+        return
+    # AC scan: single component, non-interleaved (T.81 G.1.1)
+    if len(scan) != 1:
+        raise ValueError("corrupt jpeg: interleaved progressive AC scan")
+    comp, _, tac = scan[0]
+    ch = -(-h * comp["v"] // vmax)
+    cw = -(-w * comp["h"] // hmax)
+    try:
+        ac_tbl = huff_ac[tac]
+    except KeyError:
+        raise ValueError("corrupt jpeg: missing table")
+    store = coefs[comp["id"]]
+    p1, m1 = 1 << al, -(1 << al)
+    eobrun = 0
+    n_mcu = 0
+    for by in range(-(-ch // 8)):
+        for bx in range(-(-cw // 8)):
+            if dri and n_mcu and n_mcu % dri == 0:
+                br.align_restart()
+                eobrun = 0
+            n_mcu += 1
+            bl = store[by, bx]
+            if ah == 0:  # AC first scan (T.81 G.1.2.2)
+                if eobrun:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = ac_tbl.decode(br)
+                    r, s = rs >> 4, rs & 0xF
+                    if s == 0:
+                        if r == 15:  # ZRL
+                            k += 16
+                            continue
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += br.get(r)
+                        break
+                    k += r
+                    if k > se:
+                        raise ValueError("corrupt jpeg: AC overrun")
+                    bl[k] = _extend(br.get(s), s) << al
+                    k += 1
+                continue
+            # AC refinement scan (T.81 G.1.2.3)
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    rs = ac_tbl.decode(br)
+                    r, s = rs >> 4, rs & 0xF
+                    newval = 0
+                    if s == 0:
+                        if r != 15:
+                            eobrun = (1 << r) + (br.get(r) if r else 0)
+                            break
+                        # ZRL: advance over 16 zero-history positions
+                    elif s == 1:
+                        newval = p1 if br.get(1) else m1
+                    else:
+                        raise ValueError(
+                            "corrupt jpeg: refinement magnitude > 1")
+                    while k <= se:
+                        if bl[k]:
+                            if br.get(1) and not (int(bl[k]) & p1):
+                                bl[k] += p1 if bl[k] > 0 else m1
+                        else:
+                            if r == 0:
+                                break
+                            r -= 1
+                        k += 1
+                    if newval:
+                        if k > se:
+                            raise ValueError(
+                                "corrupt jpeg: AC refine overrun")
+                        bl[k] = newval
+                    k += 1
+            if eobrun:
+                _refine_nonzero(br, bl, k, se, p1, m1)
+                eobrun -= 1
+
+
+def _reconstruct_prog(frame, qt, coefs):
+    """Dequantize + IDCT the accumulated luminance coefficients after
+    the final progressive scan."""
+    h, w, comps = frame["h"], frame["w"], frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    luma = comps[0]
+    try:
+        q = qt[luma["tq"]]
+    except KeyError:
+        raise ValueError("corrupt jpeg: missing table")
+    ch = -(-h * luma["v"] // vmax)
+    cw = -(-w * luma["h"] // hmax)
+    by_n, bx_n = -(-ch // 8), -(-cw // 8)
+    store = coefs[luma["id"]]
+    plane = np.zeros((by_n * 8, bx_n * 8), dtype=np.float32)
+    for by in range(by_n):
+        for bx in range(bx_n):
+            coef = np.zeros(64, dtype=np.float64)
+            coef[ZIGZAG] = store[by, bx]
+            block = _idct2(coef.reshape(8, 8) * q) + 128.0
+            plane[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = block
     return np.clip(plane[:ch, :cw] / 255.0, 0.0, 1.0).astype(np.float32)
 
 
@@ -528,5 +766,320 @@ def _encode(img: np.ndarray, gray: bool, dri: int) -> bytes:
             n_mcu += 1
     bw.flush()
     out.extend(bw.out)
+    out.extend(b"\xff\xd9")
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# progressive test-fixture encoder (T.81 Annex G encoding procedures)
+# ---------------------------------------------------------------------------
+
+# libjpeg-style scan scripts: (Ss, Se, Ah, Al, component indices).
+# They exercise every decoder branch — DC first with point transform,
+# split AC first bands, cross-band AC refinement, DC refinement, and
+# final AC refinement to full precision.
+_PROG_SCRIPT_GRAY = [
+    (0, 0, 0, 1, [0]),
+    (1, 5, 0, 2, [0]),
+    (6, 63, 0, 2, [0]),
+    (1, 63, 2, 1, [0]),
+    (0, 0, 1, 0, [0]),
+    (1, 63, 1, 0, [0]),
+]
+_PROG_SCRIPT_COLOR = [
+    (0, 0, 0, 1, [0, 1, 2]),
+    (1, 5, 0, 2, [0]),
+    (1, 63, 0, 1, [1]),
+    (1, 63, 0, 1, [2]),
+    (6, 63, 0, 2, [0]),
+    (1, 63, 2, 1, [0]),
+    (0, 0, 1, 0, [0, 1, 2]),
+    (1, 63, 1, 0, [1]),
+    (1, 63, 1, 0, [2]),
+    (1, 63, 1, 0, [0]),
+]
+
+
+class _ScanWriter:
+    """Bit emission for one entropy-coded scan, with RSTn support."""
+
+    def __init__(self, out: bytearray):
+        self.out = out
+        self.bw = _BitWriter()
+        self.n_rst = 0
+
+    def restart(self) -> None:
+        self.bw.flush()
+        self.out.extend(self.bw.out)
+        self.bw = _BitWriter()
+        self.out.extend(bytes([0xFF, 0xD0 + (self.n_rst % 8)]))
+        self.n_rst += 1
+
+    def done(self) -> None:
+        self.bw.flush()
+        self.out.extend(self.bw.out)
+
+
+def encode_gray_progressive(img: np.ndarray,
+                            restart_interval: int = 0) -> bytes:
+    """Encode an (h, w) uint8 grayscale array as progressive JPEG
+    (6-scan script). Unit quantization: after all scans the decoder
+    reassembles exactly the sequential coefficients, so decode output
+    is bit-identical to the sequential encode's."""
+    return _encode_progressive(img[..., None], gray=True,
+                               dri=restart_interval)
+
+
+def encode_rgb420_progressive(img: np.ndarray,
+                              restart_interval: int = 0) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as progressive 4:2:0 YCbCr
+    (10-scan script) — exercises interleaved DC scans and the
+    decoder's byte-level skip of chroma AC scans."""
+    return _encode_progressive(img, gray=False, dri=restart_interval)
+
+
+def _quantize_grids(planes, samp, mcux, mcuy, q_luma, q_chroma):
+    """Per component: (v*mcuy, h*mcux, 64) int32 zigzag coefficients
+    over the MCU-padded plane."""
+    grids = []
+    for ci, (p, (sh, sv)) in enumerate(zip(planes, samp)):
+        th, tw = mcuy * sv * 8, mcux * sh * 8
+        pp = np.pad(p, ((0, th - p.shape[0]), (0, tw - p.shape[1])),
+                    mode="edge")
+        q = q_luma if ci == 0 else q_chroma
+        grid = np.empty((mcuy * sv, mcux * sh, 64), dtype=np.int32)
+        for by in range(grid.shape[0]):
+            for bx in range(grid.shape[1]):
+                coef = np.rint(
+                    _fdct2(pp[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] - 128.0)
+                    / q).astype(np.int32)
+                grid[by, bx] = coef.reshape(64)[ZIGZAG]
+        grids.append(grid)
+    return grids
+
+
+def _enc_dc_scan(sw, grids, samp, comp_idx, units, interleaved,
+                 ah, al, dc_codes, dri):
+    preds = {ci: 0 for ci in comp_idx}
+    for n_mcu, (uy, ux) in enumerate(units):
+        if dri and n_mcu and n_mcu % dri == 0:
+            sw.restart()
+            preds = {ci: 0 for ci in comp_idx}
+        for ci in comp_idx:
+            sh, sv = samp[ci]
+            blocks = (
+                [(uy * sv + by, ux * sh + bx)
+                 for by in range(sv) for bx in range(sh)]
+                if interleaved else [(uy, ux)]
+            )
+            for by, bx in blocks:
+                dc = int(grids[ci][by, bx, 0])
+                if ah == 0:
+                    # point transform is an arithmetic shift (G.1.1.1.1)
+                    diff = (dc >> al) - preds[ci]
+                    preds[ci] = dc >> al
+                    t = _category(diff)
+                    sw.bw.put(*dc_codes[t])
+                    if t:
+                        sw.bw.put(diff if diff >= 0 else diff + (1 << t) - 1,
+                                  t)
+                else:
+                    sw.bw.put((dc >> al) & 1, 1)
+
+
+def _enc_ac_first(sw, grid, by_n, bx_n, ss, se, al, ac_codes, dri):
+    eobrun = 0
+
+    def emit_eobrun():
+        nonlocal eobrun
+        if eobrun:
+            nb = eobrun.bit_length() - 1
+            sw.bw.put(*ac_codes[nb << 4])
+            if nb:
+                sw.bw.put(eobrun - (1 << nb), nb)
+            eobrun = 0
+
+    n_mcu = 0
+    for by in range(by_n):
+        for bx in range(bx_n):
+            if dri and n_mcu and n_mcu % dri == 0:
+                emit_eobrun()
+                sw.restart()
+            n_mcu += 1
+            zz = grid[by, bx]
+            r = 0
+            for k in range(ss, se + 1):
+                v = int(zz[k])
+                # AC point transform truncates toward zero (G.1.1.1.2)
+                av = abs(v) >> al
+                if av == 0:
+                    r += 1
+                    continue
+                emit_eobrun()
+                while r > 15:
+                    sw.bw.put(*ac_codes[0xF0])
+                    r -= 16
+                t = av if v >= 0 else -av
+                s = _category(t)
+                sw.bw.put(*ac_codes[(r << 4) | s])
+                sw.bw.put(t if t >= 0 else t + (1 << s) - 1, s)
+                r = 0
+            if r:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    emit_eobrun()
+    emit_eobrun()
+
+
+def _enc_ac_refine(sw, grid, by_n, bx_n, ss, se, al, ac_codes, dri):
+    eobrun = 0
+    pend: list[int] = []  # correction bits buffered behind the EOB run
+
+    def emit_eobrun():
+        nonlocal eobrun, pend
+        if eobrun:
+            nb = eobrun.bit_length() - 1
+            sw.bw.put(*ac_codes[nb << 4])
+            if nb:
+                sw.bw.put(eobrun - (1 << nb), nb)
+            for b in pend:
+                sw.bw.put(b, 1)
+            pend = []
+            eobrun = 0
+
+    n_mcu = 0
+    for by in range(by_n):
+        for bx in range(bx_n):
+            if dri and n_mcu and n_mcu % dri == 0:
+                emit_eobrun()
+                sw.restart()
+            n_mcu += 1
+            zz = grid[by, bx]
+            t = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+            eob = -1  # band index of the last NEWLY-nonzero coefficient
+            for i, tv in enumerate(t):
+                if tv == 1:
+                    eob = i
+            r = 0
+            br_bits: list[int] = []
+            for i, tv in enumerate(t):
+                if tv == 0:
+                    r += 1
+                    continue
+                # the ZRL-split check runs at already-nonzero positions
+                # too — a run split later would put the buffered
+                # correction bits on the wrong side of the ZRL
+                while r > 15 and i <= eob:
+                    emit_eobrun()
+                    sw.bw.put(*ac_codes[0xF0])
+                    r -= 16
+                    for b in br_bits:
+                        sw.bw.put(b, 1)
+                    br_bits = []
+                if tv > 1:
+                    br_bits.append(tv & 1)
+                    continue
+                emit_eobrun()
+                sw.bw.put(*ac_codes[(r << 4) | 1])
+                sw.bw.put(1 if int(zz[ss + i]) > 0 else 0, 1)
+                for b in br_bits:
+                    sw.bw.put(b, 1)
+                br_bits = []
+                r = 0
+            if r or br_bits:
+                eobrun += 1
+                pend.extend(br_bits)
+                if eobrun == 0x7FFF:
+                    emit_eobrun()
+    emit_eobrun()
+
+
+def _encode_progressive(img: np.ndarray, gray: bool, dri: int) -> bytes:
+    h, w = img.shape[:2]
+    q_luma = np.ones((8, 8))
+    q_chroma = np.full((8, 8), 2.0)
+    if gray:
+        planes = [img[:, :, 0].astype(np.float64)]
+        samp = [(1, 1)]
+        script = _PROG_SCRIPT_GRAY
+    else:
+        rgb = img.astype(np.float64)
+        r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        ph, pw = -(-h // 2) * 2, -(-w // 2) * 2
+
+        def pad(p):
+            return np.pad(p, ((0, ph - p.shape[0]), (0, pw - p.shape[1])),
+                          mode="edge")
+
+        planes = [
+            y,
+            pad(cb).reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3)),
+            pad(cr).reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3)),
+        ]
+        samp = [(2, 2), (1, 1), (1, 1)]
+        script = _PROG_SCRIPT_COLOR
+    ncomp = len(planes)
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    grids = _quantize_grids(planes, samp, mcux, mcuy, q_luma, q_chroma)
+
+    out = bytearray(b"\xff\xd8")
+
+    def segment(marker: int, payload: bytes) -> None:
+        out.extend(struct.pack(">BBH", 0xFF, marker, len(payload) + 2))
+        out.extend(payload)
+
+    for tq, q in ((0, q_luma),) + (() if gray else ((1, q_chroma),)):
+        zzq = np.empty(64, dtype=np.uint8)
+        zzq[:] = q.reshape(64)[ZIGZAG].astype(np.uint8)
+        segment(0xDB, bytes([tq]) + zzq.tobytes())
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, (samp[ci][0] << 4) | samp[ci][1],
+                      0 if ci == 0 else 1])
+    segment(0xC2, sof)
+    segment(0xC4, bytes([0x00]) + bytes(_ENC_DC_COUNTS) + _ENC_DC_VALUES)
+    segment(0xC4, bytes([0x10]) + bytes(_ENC_AC_COUNTS) + _ENC_AC_VALUES)
+    if dri:
+        segment(0xDD, struct.pack(">H", dri))
+
+    dc_codes = _enc_codes(_ENC_DC_COUNTS, _ENC_DC_VALUES)
+    ac_codes = _enc_codes(_ENC_AC_COUNTS, _ENC_AC_VALUES)
+
+    for ss, se, ah, al, comp_idx in script:
+        sos = bytes([len(comp_idx)])
+        for ci in comp_idx:
+            # Td unused in refinement DC scans / AC scans but must be a
+            # defined table id; Ta likewise for DC scans
+            sos += bytes([ci + 1, 0x00])
+        sos += bytes([ss, se, (ah << 4) | al])
+        segment(0xDA, sos)
+        sw = _ScanWriter(out)
+        if ss == 0:
+            interleaved = len(comp_idx) > 1
+            if interleaved:
+                units = [(my, mx) for my in range(mcuy)
+                         for mx in range(mcux)]
+            else:
+                ci = comp_idx[0]
+                ch = -(-h * samp[ci][1] // vmax)
+                cw = -(-w * samp[ci][0] // hmax)
+                units = [(by, bx) for by in range(-(-ch // 8))
+                         for bx in range(-(-cw // 8))]
+            _enc_dc_scan(sw, grids, samp, comp_idx, units, interleaved,
+                         ah, al, dc_codes, dri)
+        else:
+            ci = comp_idx[0]
+            ch = -(-h * samp[ci][1] // vmax)
+            cw = -(-w * samp[ci][0] // hmax)
+            enc = _enc_ac_first if ah == 0 else _enc_ac_refine
+            enc(sw, grids[ci], -(-ch // 8), -(-cw // 8), ss, se, al,
+                ac_codes, dri)
+        sw.done()
     out.extend(b"\xff\xd9")
     return bytes(out)

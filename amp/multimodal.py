@@ -3,11 +3,11 @@ columns with typed metadata.
 
 The image libraries are not in this container, so the decode ladder
 carries its own pure-stdlib codecs: PIL when importable, else real
-decoders for PNG (RFC 2083 subset, below), baseline JPEG (amp.jpeg,
-ITU T.81), uncompressed BMP and first-frame GIF (below); everything
-else (WebP, progressive JPEG, RLE BMP) degrades to a
-deterministic fake or a NULL feature with decode_status as data
-(AMP_FAKE_DECODE). The Spark-side plumbing is real and tested:
+decoders for PNG (RFC 2083 subset, below), baseline AND progressive
+JPEG (amp.jpeg, ITU T.81 incl. Annex G), uncompressed BMP and
+first-frame GIF (below); everything else (WebP, arithmetic-coded
+JPEG, RLE BMP) degrades to a deterministic fake or a NULL feature
+with decode_status as data (AMP_FAKE_DECODE). The Spark-side plumbing is real and tested:
 schemas, Arrow batch shapes, mapInPandas signatures, partition-size
 control. On a real cluster only the ladder's top rung changes (PIL/
 libav present); the plan shape is already the scalable one: a single
@@ -472,10 +472,11 @@ def _decode_image_status(
                 return _fake_grid(raw), "fake", fmt
             return None, "corrupt", fmt
     if fmt == "jpeg":
-        # pure-Python baseline decoder (amp.jpeg, ITU T.81): real decode
-        # for the dominant real-world format without Pillow. Progressive
-        # and arithmetic-coded files raise ValueError("unsupported ...")
-        # and are counted as unsupported, torn/garbled ones as corrupt.
+        # pure-Python baseline + progressive decoder (amp.jpeg, ITU
+        # T.81 incl. Annex G): real decode for the dominant real-world
+        # format without Pillow. Arithmetic-coded / hierarchical files
+        # raise ValueError("unsupported ...") and are counted as
+        # unsupported, torn/garbled ones as corrupt.
         from . import jpeg as _jpeg
 
         try:

@@ -69,10 +69,16 @@ def test_corrupt_and_unsupported_raise_value_error():
         jpeg.decode_gray(b"\xff\xd8\xff\xe0" + b"\x00" * 32)
     with pytest.raises(ValueError, match="corrupt"):
         jpeg.decode_gray(good[:20])
-    with pytest.raises(ValueError, match="unsupported"):
-        # flip SOF0 -> SOF2 (progressive)
+    with pytest.raises(ValueError, match="corrupt"):
+        # flip SOF0 -> SOF2: the baseline full-band scan (Ss=0, Se=63)
+        # is illegal in a progressive frame (T.81 G.1: a DC scan must
+        # have Se=0), so the mislabeled file is corrupt, not decodable
         idx = good.find(b"\xff\xc0")
         jpeg.decode_gray(good[:idx] + b"\xff\xc2" + good[idx + 2:])
+    with pytest.raises(ValueError, match="unsupported"):
+        # SOF9 (extended sequential, arithmetic coding)
+        idx = good.find(b"\xff\xc0")
+        jpeg.decode_gray(good[:idx] + b"\xff\xc9" + good[idx + 2:])
     with pytest.raises(ValueError, match="corrupt"):
         jpeg.decode_gray(b"not a jpeg")
 
@@ -108,10 +114,10 @@ def test_single_component_scan_is_non_interleaved():
 
 
 def test_ladder_integration_no_spark():
-    """_decode_image_status: real baseline JPEG -> real; torn -> corrupt;
-    progressive -> unsupported (fakes disallowed). PIL-independent: the
-    jpeg branch of the ladder prefers the stdlib codec for baseline
-    files, but guard the progressive expectation (PIL would decode it)."""
+    """_decode_image_status: real baseline AND progressive JPEG ->
+    real; torn -> corrupt; arithmetic-coded -> unsupported (fakes
+    disallowed). PIL-independent apart from the arithmetic case (PIL
+    would reject it as corrupt rather than unsupported)."""
     from amp.multimodal import _decode_image_status
 
     img = (np.arange(192, dtype=np.uint16).reshape(12, 16) % 256).astype(np.uint8)
@@ -123,20 +129,162 @@ def test_ladder_integration_no_spark():
     _, status, fmt = _decode_image_status(data[:30], allow_fake=False)
     assert (status, fmt) == ("corrupt", "jpeg")
 
+    prog = jpeg.encode_gray_progressive(img)
+    grid, status, fmt = _decode_image_status(prog, allow_fake=False)
+    assert (status, fmt) == ("real", "jpeg")
+    assert grid.shape == (8, 8)
+
+    _, status, fmt = _decode_image_status(prog[:40], allow_fake=False)
+    assert (status, fmt) == ("corrupt", "jpeg")
+
     idx = data.find(b"\xff\xc0")
-    prog = data[:idx] + b"\xff\xc2" + data[idx + 2:]
-    _, status, fmt = _decode_image_status(prog, allow_fake=False)
+    arith = data[:idx] + b"\xff\xc9" + data[idx + 2:]
+    _, status, fmt = _decode_image_status(arith, allow_fake=False)
     from amp.multimodal import HAVE_PIL
 
     if HAVE_PIL:
-        # PIL sits above the stdlib codec in the ladder and decodes
-        # (or rejects) progressive files itself
-        assert fmt == "jpeg" and status in ("real", "corrupt")
+        assert fmt == "jpeg" and status in ("corrupt", "unsupported")
     else:
         assert (status, fmt) == ("unsupported", "jpeg")
 
-    # fakes allowed: never None (real under PIL, which handles
-    # progressive itself; deterministic fake from the stdlib ladder)
-    grid, status, fmt = _decode_image_status(prog, allow_fake=True)
+    # fakes allowed: never None
+    grid, status, fmt = _decode_image_status(arith, allow_fake=True)
     assert grid is not None
-    assert status in (("real", "fake") if HAVE_PIL else ("fake",))
+    assert status == "fake" or (HAVE_PIL and status == "real")
+
+
+def test_progressive_bit_identical_to_sequential():
+    """Successive approximation + spectral selection reassemble exactly
+    the sequential coefficients (unit quant), so the progressive decode
+    is BIT-IDENTICAL to the sequential decode — gradients and flats
+    stress EOB runs, noise stresses dense bands, odd sizes stress the
+    partial-MCU edges."""
+    rng = np.random.default_rng(7)
+    yy, xx = np.mgrid[0:64, 0:72]
+    cases = [
+        rng.integers(0, 256, size=(16, 24), dtype=np.uint8),
+        rng.integers(0, 256, size=(37, 53), dtype=np.uint8),
+        rng.integers(0, 256, size=(1, 1), dtype=np.uint8),
+        rng.integers(0, 256, size=(9, 17), dtype=np.uint8),
+        ((yy * 4 + xx * 3) % 256).astype(np.uint8),
+        np.full((40, 48), 130, np.uint8),
+        ((xx > 36) * 255).astype(np.uint8)[:40, :48],
+        (((yy // 4 + xx // 4) % 2) * 255).astype(np.uint8),
+    ]
+    for img in cases:
+        base = jpeg.decode_gray(jpeg.encode_gray(img))
+        prog = jpeg.decode_gray(jpeg.encode_gray_progressive(img))
+        assert np.array_equal(base, prog)
+
+
+def test_progressive_color_and_chroma_scan_skip():
+    """3-component progressive: interleaved DC scans decode all
+    components; chroma AC scans are skipped at the byte level; the luma
+    plane still comes out bit-identical to the sequential decode."""
+    rng = np.random.default_rng(3)
+    for h, w in ((19, 22), (16, 16), (33, 47)):
+        rgb = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        base = jpeg.decode_gray(jpeg.encode_rgb420(rgb))
+        prog = jpeg.decode_gray(jpeg.encode_rgb420_progressive(rgb))
+        assert prog.shape == (h, w)
+        assert np.array_equal(base, prog)
+
+
+def test_progressive_restart_intervals():
+    """RSTn inside progressive scans: DC predictors and EOB runs reset,
+    bit reader re-aligns — still bit-identical to sequential."""
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(24, 40), dtype=np.uint8)
+    base = jpeg.decode_gray(jpeg.encode_gray(img))
+    for dri in (1, 2, 3, 7):
+        data = jpeg.encode_gray_progressive(img, restart_interval=dri)
+        assert any(
+            data[i] == 0xFF and 0xD0 <= data[i + 1] <= 0xD7
+            for i in range(2, len(data) - 2)
+        ), "progressive encoder must emit RSTn markers"
+        assert np.array_equal(jpeg.decode_gray(data), base)
+    rgb = rng.integers(0, 256, size=(18, 20, 3), dtype=np.uint8)
+    base = jpeg.decode_gray(jpeg.encode_rgb420(rgb))
+    data = jpeg.encode_rgb420_progressive(rgb, restart_interval=2)
+    assert np.array_equal(jpeg.decode_gray(data), base)
+
+
+def test_progressive_truncation_is_corrupt():
+    img = (np.arange(256, dtype=np.uint16).reshape(16, 16) % 256).astype(np.uint8)
+    data = jpeg.encode_gray_progressive(img)
+    # cut inside the scans (after the first SOS) and before EOI
+    first_sos = data.find(b"\xff\xda")
+    for cut in (first_sos + 20, len(data) - 3):
+        with pytest.raises(ValueError, match="corrupt"):
+            jpeg.decode_gray(data[:cut])
+
+
+def _roundtrip_coef_grid(grid, scans):
+    """White-box harness: run the progressive AC scan encoders and the
+    scan decoder directly over a fabricated single-component coefficient
+    grid (bypassing the DCT, which cannot express adversarial
+    coefficient patterns exactly). Returns the decoded grid."""
+    from amp.jpeg import (
+        _ENC_AC_COUNTS, _ENC_AC_VALUES, _Huff, _ScanWriter,
+        _decode_scan_prog, _enc_ac_first, _enc_ac_refine, _enc_codes,
+    )
+
+    by_n, bx_n = grid.shape[:2]
+    comp = {"id": 1, "h": 1, "v": 1, "tq": 0}
+    frame = {"h": by_n * 8, "w": bx_n * 8, "comps": [comp], "prog": True}
+    ac_codes = _enc_codes(_ENC_AC_COUNTS, _ENC_AC_VALUES)
+    huff_ac = {0: _Huff(_ENC_AC_COUNTS, _ENC_AC_VALUES)}
+    decoded = {1: np.zeros((by_n, bx_n, 64), dtype=np.int32)}
+    for ss, se, ah, al in scans:
+        out = bytearray()
+        sw = _ScanWriter(out)
+        if ah == 0:
+            _enc_ac_first(sw, grid, by_n, bx_n, ss, se, al, ac_codes, 0)
+        else:
+            _enc_ac_refine(sw, grid, by_n, bx_n, ss, se, al, ac_codes, 0)
+        sw.done()
+        out.extend(b"\xff\xd9")  # terminate the bit reader's segment
+        _decode_scan_prog(bytes(out), 0, frame, [(comp, 0, 0)], ss, se,
+                          ah, al, {}, {}, huff_ac, 0, decoded)
+    return decoded[1]
+
+
+def test_progressive_ac_refinement_whitebox_adversarial():
+    """Coefficient-level round-trip of the AC first+refine scan pair on
+    patterns chosen to hit the narrow branches: ZRL splits at
+    already-nonzero positions, correction bits landing after the 16th
+    zero of a ZRL span, EOB runs spanning blocks with pending
+    correction bits, and full-band zero blocks."""
+    # block A: >16 zeros, then an already-nonzero (|v|>=2 at Al=1),
+    # then a newly-nonzero (|v| in {2,3} -> 1 at Al=1... use Al 1->0)
+    blocks = []
+    a = np.zeros(64, np.int32)
+    a[20], a[40] = 5, 3  # corr bit after 16th zero + new coef later
+    blocks.append(a)
+    b = np.zeros(64, np.int32)
+    b[1], b[35] = -4, -2  # nonzero early, 33 zeros, then new negative
+    blocks.append(b)
+    blocks.append(np.zeros(64, np.int32))  # all-zero: pure EOB run
+    c = np.zeros(64, np.int32)
+    c[2], c[3] = 7, -6  # dense head, long zero tail (pending bits)
+    blocks.append(c)
+    blocks.append(np.zeros(64, np.int32))  # extends the EOB run
+    d = np.zeros(64, np.int32)
+    d[63] = 2  # new coefficient at the very last band position
+    blocks.append(d)
+    grid = np.stack(blocks).reshape(2, 3, 64)
+    out = _roundtrip_coef_grid(grid, [(1, 63, 0, 1), (1, 63, 1, 0)])
+    got = grid.copy()
+    got[:, :, 1:] = out[:, :, 1:]  # DC untouched by AC scans
+    assert np.array_equal(got[:, :, 1:], grid[:, :, 1:])
+
+    # randomized sweep, three precision levels 2 -> 1 -> 0
+    rng = np.random.default_rng(17)
+    for trial in range(25):
+        g = np.zeros((3, 4, 64), np.int32)
+        mask = rng.random((3, 4, 64)) < rng.uniform(0.02, 0.4)
+        g[mask] = rng.integers(-9, 10, size=int(mask.sum()))
+        g[:, :, 0] = 0
+        out = _roundtrip_coef_grid(
+            g, [(1, 63, 0, 2), (1, 63, 2, 1), (1, 63, 1, 0)])
+        assert np.array_equal(out[:, :, 1:], g[:, :, 1:]), f"trial {trial}"

@@ -78,15 +78,17 @@ def test_decode_status_mixed_corpus_counted_never_raises(spark, monkeypatch):
     )
     from amp import jpeg as amp_jpeg
 
-    good_jpeg = amp_jpeg.encode_gray(
-        (np.arange(300, dtype=np.uint16).reshape(15, 20) % 256).astype(np.uint8)
-    )
+    jpeg_img = (np.arange(300, dtype=np.uint16).reshape(15, 20) % 256
+                ).astype(np.uint8)
+    good_jpeg = amp_jpeg.encode_gray(jpeg_img)
+    prog_jpeg = amp_jpeg.encode_gray_progressive(jpeg_img)
     rows = [
         ("ok0", good_png),
         ("ok1", mm.png_encode(np.zeros((4, 4), np.uint8))),
         ("corrupt0", good_png[: len(good_png) // 2]),      # torn PNG
         ("jpeg0", b"\xff\xd8\xff\xe0" + b"\x00" * 32),     # torn JPEG
         ("jpeg1", good_jpeg),                              # real baseline JPEG
+        ("jpeg2", prog_jpeg),                              # real progressive JPEG
         ("webp0", b"RIFF\x00\x00\x00\x00WEBPVP8 "),        # WebP stub
         ("junk0", b"not an image at all"),
     ]
@@ -113,6 +115,10 @@ def test_decode_status_mixed_corpus_counted_never_raises(spark, monkeypatch):
         assert feats["jpeg0"]["fmt"] == "jpeg"
         assert feats["jpeg1"]["decode_status"] == "real"
         assert feats["jpeg1"]["feature"] is not None
+        # progressive JPEG decodes for real too (T.81 Annex G), and
+        # the two encodings of the same image yield the same grid
+        assert feats["jpeg2"]["decode_status"] == "real"
+        assert feats["jpeg2"]["feature"] == feats["jpeg1"]["feature"]
         assert feats["webp0"]["fmt"] == "webp"
         assert feats["junk0"]["decode_status"] == "unsupported"
         assert feats["junk0"]["fmt"] == "unknown"
@@ -121,7 +127,7 @@ def test_decode_status_mixed_corpus_counted_never_raises(spark, monkeypatch):
             for r in mm.decode_metrics(mm.extract_features(media)).collect()
         }
         assert m[("real", "png")] == 2 and m[("corrupt", "png")] == 1
-        assert m[("real", "jpeg")] == 1 and m[("corrupt", "jpeg")] == 1
+        assert m[("real", "jpeg")] == 2 and m[("corrupt", "jpeg")] == 1
         assert m[("unsupported", "webp")] == 1
         assert m[("unsupported", "unknown")] == 1
 
