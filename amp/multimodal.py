@@ -4,10 +4,11 @@ columns with typed metadata.
 The image libraries are not in this container, so the decode ladder
 carries its own pure-stdlib codecs: PIL when importable, else real
 decoders for PNG (RFC 2083 subset, below), baseline AND progressive
-JPEG (amp.jpeg, ITU T.81 incl. Annex G), uncompressed BMP and
-first-frame GIF (below); everything else (WebP, arithmetic-coded
-JPEG, RLE BMP) degrades to a deterministic fake or a NULL feature
-with decode_status as data (AMP_FAKE_DECODE). The Spark-side plumbing is real and tested:
+JPEG (amp.jpeg, ITU T.81 incl. Annex G), lossless WebP (amp.vp8l),
+uncompressed BMP and first-frame GIF (below); everything else (lossy
+VP8, animations, arithmetic-coded JPEG, RLE BMP) degrades to a
+deterministic fake or a NULL feature with decode_status as data
+(AMP_FAKE_DECODE). The Spark-side plumbing is real and tested:
 schemas, Arrow batch shapes, mapInPandas signatures, partition-size
 control. On a real cluster only the ladder's top rung changes (PIL/
 libav present); the plan shape is already the scalable one: a single
@@ -486,10 +487,14 @@ def _decode_image_status(
                 return _fake_grid(raw), "fake", fmt
             status = "unsupported" if "unsupported" in str(e) else "corrupt"
             return None, status, fmt
-    if fmt in ("bmp", "gif"):
-        # uncompressed DIB subset / first-frame GIF; anything the
-        # decoder calls "unsupported" falls through as that status
-        dec = bmp_decode_gray if fmt == "bmp" else gif_decode_gray
+    if fmt in ("bmp", "gif", "webp"):
+        # uncompressed DIB subset / first-frame GIF / lossless VP8L;
+        # anything the decoder calls "unsupported" (RLE BMP, lossy
+        # VP8, animations) falls through as that status
+        if fmt == "webp":
+            from .vp8l import decode_gray as dec
+        else:
+            dec = bmp_decode_gray if fmt == "bmp" else gif_decode_gray
         try:
             return _resize8(dec(raw)), "real", fmt
         except Exception as e:

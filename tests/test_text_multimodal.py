@@ -82,6 +82,16 @@ def test_decode_status_mixed_corpus_counted_never_raises(spark, monkeypatch):
                 ).astype(np.uint8)
     good_jpeg = amp_jpeg.encode_gray(jpeg_img)
     prog_jpeg = amp_jpeg.encode_gray_progressive(jpeg_img)
+    import struct as _struct
+
+    from amp import vp8l as amp_vp8l
+
+    webp_rgba = np.zeros((10, 12, 4), np.uint8)
+    webp_rgba[:, :, 1] = np.arange(12, dtype=np.uint8) * 20
+    webp_rgba[:, :, 3] = 255
+    good_webp = amp_vp8l.encode_lossless(webp_rgba, cache_bits=3)
+    lossy_webp = (b"RIFF" + _struct.pack("<I", 16) + b"WEBP"
+                  + b"VP8 " + _struct.pack("<I", 4) + b"\x00" * 4)
     rows = [
         ("ok0", good_png),
         ("ok1", mm.png_encode(np.zeros((4, 4), np.uint8))),
@@ -89,7 +99,8 @@ def test_decode_status_mixed_corpus_counted_never_raises(spark, monkeypatch):
         ("jpeg0", b"\xff\xd8\xff\xe0" + b"\x00" * 32),     # torn JPEG
         ("jpeg1", good_jpeg),                              # real baseline JPEG
         ("jpeg2", prog_jpeg),                              # real progressive JPEG
-        ("webp0", b"RIFF\x00\x00\x00\x00WEBPVP8 "),        # WebP stub
+        ("webp0", lossy_webp),                             # lossy VP8: unsupported
+        ("webp1", good_webp),                              # real lossless VP8L
         ("junk0", b"not an image at all"),
     ]
     media = spark.createDataFrame(
@@ -119,7 +130,12 @@ def test_decode_status_mixed_corpus_counted_never_raises(spark, monkeypatch):
         # the two encodings of the same image yield the same grid
         assert feats["jpeg2"]["decode_status"] == "real"
         assert feats["jpeg2"]["feature"] == feats["jpeg1"]["feature"]
+        # lossless WebP decodes for real (amp.vp8l); lossy VP8 is
+        # unsupported-as-data
         assert feats["webp0"]["fmt"] == "webp"
+        assert feats["webp0"]["decode_status"] == "unsupported"
+        assert feats["webp1"]["decode_status"] == "real"
+        assert feats["webp1"]["feature"] is not None
         assert feats["junk0"]["decode_status"] == "unsupported"
         assert feats["junk0"]["fmt"] == "unknown"
         m = {
@@ -129,6 +145,7 @@ def test_decode_status_mixed_corpus_counted_never_raises(spark, monkeypatch):
         assert m[("real", "png")] == 2 and m[("corrupt", "png")] == 1
         assert m[("real", "jpeg")] == 2 and m[("corrupt", "jpeg")] == 1
         assert m[("unsupported", "webp")] == 1
+        assert m[("real", "webp")] == 1
         assert m[("unsupported", "unknown")] == 1
 
     # with fakes allowed every row gets a feature and a fake/real status
