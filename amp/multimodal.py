@@ -5,10 +5,10 @@ The image libraries are not in this container, so the decode ladder
 carries its own pure-stdlib codecs: PIL when importable, else real
 decoders for PNG (RFC 2083 subset, below), baseline AND progressive
 JPEG (amp.jpeg, ITU T.81 incl. Annex G), lossless WebP (amp.vp8l),
-uncompressed BMP and first-frame GIF (below); everything else (lossy
-VP8, animations, arithmetic-coded JPEG, RLE BMP) degrades to a
-deterministic fake or a NULL feature with decode_status as data
-(AMP_FAKE_DECODE). The Spark-side plumbing is real and tested:
+BMP incl. RLE4/RLE8 and first-frame GIF (below); everything else
+(lossy VP8, animations, arithmetic-coded JPEG, BMP bitfields)
+degrades to a deterministic fake or a NULL feature with
+decode_status as data (AMP_FAKE_DECODE). The Spark-side plumbing is real and tested:
 schemas, Arrow batch shapes, mapInPandas signatures, partition-size
 control. On a real cluster only the ladder's top rung changes (PIL/
 libav present); the plan shape is already the scalable one: a single
@@ -236,13 +236,66 @@ def png_encode(gray: np.ndarray, filter_type: int = 0) -> bytes:
     )
 
 
+def _bmp_rle_decode(data: bytes, w: int, h: int, rle4: bool) -> np.ndarray:
+    """BI_RLE8 / BI_RLE4 -> (h, w) uint8 palette indices, rows in
+    BOTTOM-UP file order (the caller flips). Escapes: 0,0 = end of
+    line, 0,1 = end of bitmap, 0,2 = delta move, 0,n>=3 = absolute run
+    of n pixels padded to a 16-bit boundary. Pixels skipped by
+    deltas/early EOL stay 0 (the spec leaves them undefined)."""
+    out = np.zeros((h, w), dtype=np.uint8)
+    x = y = i = 0
+    while i + 1 < len(data):
+        cnt, val = data[i], data[i + 1]
+        i += 2
+        if cnt > 0:  # encoded run
+            if rle4:
+                pair = ((val >> 4) & 0xF, val & 0xF)
+                for j in range(cnt):
+                    if x >= w or y >= h:
+                        raise ValueError("corrupt bmp: RLE overflow")
+                    out[y, x] = pair[j & 1]
+                    x += 1
+            else:
+                if x + cnt > w or y >= h:
+                    raise ValueError("corrupt bmp: RLE overflow")
+                out[y, x:x + cnt] = val
+                x += cnt
+        elif val == 0:  # end of line
+            x, y = 0, y + 1
+        elif val == 1:  # end of bitmap
+            return out
+        elif val == 2:  # delta
+            if i + 1 >= len(data):
+                raise ValueError("corrupt bmp: truncated RLE delta")
+            x += data[i]
+            y += data[i + 1]
+            i += 2
+            if x > w or y > h:
+                raise ValueError("corrupt bmp: RLE delta out of range")
+        else:  # absolute mode: val literal pixels
+            n_bytes = (val + 1) // 2 if rle4 else val
+            n_bytes += n_bytes & 1  # pad to 16-bit boundary
+            if i + n_bytes > len(data):
+                raise ValueError("corrupt bmp: truncated RLE literals")
+            if y >= h or x + val > w:
+                raise ValueError("corrupt bmp: RLE overflow")
+            for j in range(val):
+                b = data[i + (j // 2 if rle4 else j)]
+                out[y, x] = ((b >> 4) & 0xF) if (rle4 and j % 2 == 0) \
+                    else (b & 0xF) if rle4 else b
+                x += 1
+            i += n_bytes
+    raise ValueError("corrupt bmp: RLE stream missing end-of-bitmap")
+
+
 def bmp_decode_gray(payload: bytes) -> np.ndarray:
-    """Uncompressed BMP (BITMAPINFOHEADER, BI_RGB) -> float32 (H, W)
-    grayscale in [0, 1] (ITU-R 601 luma for color, palette lookup for
-    8-bit). Public format: the Windows DIB layout — 'BM' header, pixel
-    offset at byte 10, int32 width/height (negative height = top-down),
-    rows padded to 4 bytes, bottom-up by default. Raises ValueError on
-    anything outside the 8/24/32-bpp uncompressed subset — callers
+    """BMP (BITMAPINFOHEADER) -> float32 (H, W) grayscale in [0, 1]
+    (ITU-R 601 luma for color, palette lookup for indexed). Public
+    format: the Windows DIB layout — 'BM' header, pixel offset at byte
+    10, int32 width/height (negative height = top-down), rows padded
+    to 4 bytes, bottom-up by default. Supports BI_RGB at 4/8/24/32 bpp
+    plus BI_RLE8 and BI_RLE4 run-length compression; raises ValueError
+    outside that subset (bitfields, embedded PNG/JPEG) — callers
     decide whether to fall back (same contract as png_decode)."""
     if len(payload) < 54 or payload[:2] != b"BM":
         raise ValueError("not a BMP (bad signature)")
@@ -252,15 +305,41 @@ def bmp_decode_gray(payload: bytes) -> np.ndarray:
         raise ValueError("unsupported bmp: pre-BITMAPINFOHEADER DIB")
     w, h_raw = struct.unpack_from("<ii", payload, 18)
     bpp, comp = struct.unpack_from("<HI", payload, 28)
-    if comp != 0:
-        raise ValueError("unsupported bmp: compressed (BI_RGB only)")
-    if bpp not in (8, 24, 32):
+    if comp not in (0, 1, 2):
+        raise ValueError("unsupported bmp: bitfields/embedded codec")
+    if (comp == 1 and bpp != 8) or (comp == 2 and bpp != 4):
+        raise ValueError("corrupt bmp: RLE type mismatches bit depth")
+    if bpp not in ((4, 8, 24, 32) if comp == 0 else (4, 8)):
         raise ValueError(f"unsupported bmp: {bpp} bpp")
     if w <= 0 or h_raw == 0:
         raise ValueError("corrupt bmp: bad dimensions")
     top_down = h_raw < 0
     h = -h_raw if top_down else h_raw
-    stride = (w * (bpp // 8) + 3) & ~3
+
+    def palette() -> np.ndarray:
+        # BGRX quads between the DIB header and the pixels
+        pal_off = 14 + dib_size
+        n_pal = (px_off - pal_off) // 4
+        if n_pal <= 0:
+            raise ValueError("corrupt bmp: missing palette")
+        return np.frombuffer(
+            payload, dtype=np.uint8, count=n_pal * 4, offset=pal_off
+        ).reshape(n_pal, 4).astype(np.float64)
+
+    def pal_luma(idx: np.ndarray, pal: np.ndarray) -> np.ndarray:
+        if int(idx.max(initial=0)) >= len(pal):
+            raise ValueError("corrupt bmp: palette index out of range")
+        return (0.114 * pal[idx, 0] + 0.587 * pal[idx, 1]
+                + 0.299 * pal[idx, 2])
+
+    if comp in (1, 2):  # BI_RLE8 / BI_RLE4
+        if top_down:
+            raise ValueError("corrupt bmp: top-down RLE is not allowed")
+        idx = _bmp_rle_decode(payload[px_off:], w, h, rle4=comp == 2)
+        luma = pal_luma(idx[::-1].astype(np.int64), palette())
+        return np.clip(luma / 255.0, 0.0, 1.0).astype(np.float32)
+
+    stride = ((w * bpp + 7) // 8 + 3) & ~3
     if px_off + stride * h > len(payload):
         raise ValueError("corrupt bmp: truncated pixel data")
     rows = np.frombuffer(
@@ -268,20 +347,13 @@ def bmp_decode_gray(payload: bytes) -> np.ndarray:
     ).reshape(h, stride)
     if not top_down:
         rows = rows[::-1]
-    if bpp == 8:
-        # palette: BGRX quads between the DIB header and the pixels
-        pal_off = 14 + dib_size
-        n_pal = (px_off - pal_off) // 4
-        if n_pal <= 0:
-            raise ValueError("corrupt bmp: missing palette")
-        pal = np.frombuffer(
-            payload, dtype=np.uint8, count=n_pal * 4, offset=pal_off
-        ).reshape(n_pal, 4).astype(np.float64)
-        idx = rows[:, :w].astype(np.int64)
-        if int(idx.max(initial=0)) >= n_pal:
-            raise ValueError("corrupt bmp: palette index out of range")
-        luma = (0.114 * pal[idx, 0] + 0.587 * pal[idx, 1]
-                + 0.299 * pal[idx, 2])
+    if bpp == 4:
+        nibbles = np.empty((h, stride * 2), dtype=np.uint8)
+        nibbles[:, 0::2] = (rows >> 4) & 0xF
+        nibbles[:, 1::2] = rows & 0xF
+        luma = pal_luma(nibbles[:, :w].astype(np.int64), palette())
+    elif bpp == 8:
+        luma = pal_luma(rows[:, :w].astype(np.int64), palette())
     else:
         nb = bpp // 8
         px = rows[:, : w * nb].reshape(h, w, nb).astype(np.float64)
@@ -488,9 +560,9 @@ def _decode_image_status(
             status = "unsupported" if "unsupported" in str(e) else "corrupt"
             return None, status, fmt
     if fmt in ("bmp", "gif", "webp"):
-        # uncompressed DIB subset / first-frame GIF / lossless VP8L;
-        # anything the decoder calls "unsupported" (RLE BMP, lossy
-        # VP8, animations) falls through as that status
+        # DIB incl. RLE / first-frame GIF / lossless VP8L; anything
+        # the decoder calls "unsupported" (BMP bitfields, lossy VP8,
+        # animations) falls through as that status
         if fmt == "webp":
             from .vp8l import decode_gray as dec
         else:

@@ -84,14 +84,107 @@ def test_unsupported_and_corrupt():
 
     rgb = np.zeros((4, 4, 3), dtype=np.uint8)
     data = _bmp24(rgb)
-    # flip compression to BI_RLE8
-    rle = data[:30] + struct.pack("<I", 1) + data[34:]
+    # BI_BITFIELDS stays outside the decoder's subset
+    bf = data[:30] + struct.pack("<I", 3) + data[34:]
     with pytest.raises(ValueError, match="unsupported"):
-        bmp_decode_gray(rle)
+        bmp_decode_gray(bf)
+    # BI_RLE8 on a 24-bpp DIB is self-contradictory
+    rle_mismatch = data[:30] + struct.pack("<I", 1) + data[34:]
+    with pytest.raises(ValueError, match="corrupt"):
+        bmp_decode_gray(rle_mismatch)
     with pytest.raises(ValueError, match="corrupt|not a BMP"):
         bmp_decode_gray(data[:40])
     with pytest.raises(ValueError, match="not a BMP"):
         bmp_decode_gray(b"nope")
+
+
+def _bmp_indexed(idx_rows: bytes, w: int, h: int, bpp: int, comp: int,
+                 n_pal: int = 16) -> bytes:
+    """Assemble an indexed BMP with a grayscale-ramp palette: entry i
+    -> (i*17, i*17, i*17) for 4-bit, (i, i, i) for 8-bit."""
+    pal = bytearray()
+    for i in range(n_pal):
+        v = i * 17 if bpp == 4 else i
+        pal += bytes([v, v, v, 0])
+    px_off = 14 + 40 + len(pal)
+    header = (b"BM" + struct.pack("<IHHI", px_off + len(idx_rows), 0, 0,
+                                  px_off)
+              + struct.pack("<IiiHHIIiiII", 40, w, h, 1, bpp, comp,
+                            len(idx_rows), 0, 0, n_pal, 0))
+    return bytes(header) + bytes(pal) + idx_rows
+
+
+def test_rle8_runs_deltas_absolute_and_eol():
+    """BI_RLE8: encoded runs, absolute mode (word-padded), delta skip
+    (skipped pixels read as palette index 0), end-of-line, EOB."""
+    w, h = 7, 3
+    stream = bytes([
+        3, 5,               # row 0 (bottom): 5 5 5
+        0, 3, 1, 2, 3, 0,   # absolute: 1 2 3 + pad to a word boundary
+        0, 0,               # end of line
+        2, 9,               # row 1: 9 9
+        0, 2, 3, 0,         # delta: skip 3 right
+        2, 4,               # 4 4
+        0, 0,               # end of line
+        7, 1,               # row 2 (top): full row of 1
+        0, 1,               # end of bitmap
+    ])
+    data = _bmp_indexed(stream, w, h, bpp=8, comp=1, n_pal=16)
+    dec = np.rint(bmp_decode_gray(data) * 255.0).astype(int)
+    expect = np.array([
+        [1, 1, 1, 1, 1, 1, 1],        # top row (file row 2)
+        [9, 9, 0, 0, 0, 4, 4],        # delta-skipped -> index 0
+        [5, 5, 5, 1, 2, 3, 0],        # early EOL -> index 0
+    ])
+    assert np.array_equal(dec, expect)
+
+
+def test_rle4_nibble_runs_and_absolute():
+    """BI_RLE4: runs alternate the two nibbles; absolute mode packs
+    nibbles high-first with word padding."""
+    w, h = 6, 2
+    stream = bytes([
+        5, 0x12,          # row 0 (bottom): 1 2 1 2 1
+        0, 0,             # end of line
+        0, 4, 0x34, 0x56, # absolute: 3 4 5 6 (2 bytes, already even)
+        2, 0x70,          # 7 0
+        0, 1,             # end of bitmap
+    ])
+    data = _bmp_indexed(stream, w, h, bpp=4, comp=2, n_pal=16)
+    dec = np.rint(bmp_decode_gray(data) * 255.0 / 17.0).astype(int)
+    expect = np.array([
+        [3, 4, 5, 6, 7, 0],   # top row (file row 1)
+        [1, 2, 1, 2, 1, 0],   # bottom row, early EOL -> 0
+    ])
+    assert np.array_equal(dec, expect)
+
+
+def test_plain_4bpp_uncompressed():
+    w, h = 5, 2
+    # bottom-up rows, nibbles high-first, stride padded to 4 bytes
+    row_bottom = bytes([0x12, 0x34, 0x50, 0x00])   # 1 2 3 4 5
+    row_top = bytes([0xAB, 0xCD, 0xE0, 0x00])      # 10 11 12 13 14
+    data = _bmp_indexed(row_bottom + row_top, w, h, bpp=4, comp=0)
+    dec = np.rint(bmp_decode_gray(data) * 255.0 / 17.0).astype(int)
+    assert np.array_equal(dec, [[10, 11, 12, 13, 14], [1, 2, 3, 4, 5]])
+
+
+def test_rle_corrupt_streams():
+    import pytest
+
+    # overflow past the row
+    bad = bytes([200, 1] * 8)
+    with pytest.raises(ValueError, match="corrupt"):
+        bmp_decode_gray(_bmp_indexed(bad, 4, 2, bpp=8, comp=1))
+    # missing end-of-bitmap
+    with pytest.raises(ValueError, match="corrupt"):
+        bmp_decode_gray(_bmp_indexed(bytes([2, 1]), 4, 2, bpp=8, comp=1))
+    # top-down RLE is illegal
+    stream = bytes([2, 1, 0, 1])
+    data = bytearray(_bmp_indexed(stream, 4, 2, bpp=8, comp=1))
+    struct.pack_into("<i", data, 22, -2)
+    with pytest.raises(ValueError, match="corrupt"):
+        bmp_decode_gray(bytes(data))
 
 
 def test_ladder_status_for_bmp():
@@ -101,10 +194,17 @@ def test_ladder_status_for_bmp():
     assert (status, fmt) == ("real", "bmp")
     assert grid.shape == (8, 8)
 
-    rle = data[:30] + struct.pack("<I", 1) + data[34:]
-    _, status, fmt = _decode_image_status(rle, allow_fake=False)
+    # a real RLE8 file now decodes
+    stream = bytes([4, 7, 0, 0, 4, 9, 0, 1])
+    rle = _bmp_indexed(stream, 4, 2, bpp=8, comp=1)
+    grid, status, fmt = _decode_image_status(rle, allow_fake=False)
     from amp.multimodal import HAVE_PIL
 
+    if not HAVE_PIL:
+        assert (status, fmt) == ("real", "bmp")
+
+    bf = data[:30] + struct.pack("<I", 3) + data[34:]
+    _, status, fmt = _decode_image_status(bf, allow_fake=False)
     if HAVE_PIL:
         assert fmt == "bmp" and status in ("real", "corrupt")
     else:
