@@ -490,6 +490,126 @@ def gif_decode_gray(payload: bytes) -> np.ndarray:
     raise ValueError("corrupt gif: no image frame")
 
 
+def gif_decode_frames(payload: bytes,
+                      max_frames: int = 0) -> tuple[list, list]:
+    """Animated GIF87a/89a -> (frames, delays_ms): every animation
+    frame composited onto the LOGICAL SCREEN canvas per the spec's
+    graphic-control semantics — frame offsets (left/top), per-frame
+    local palettes, transparency (transparent pixels leave the canvas
+    unchanged), and disposal methods 0/1 (keep), 2 (restore the frame
+    region to the background color) and 3 (restore the previous
+    canvas). Frames are float32 (H, W) luma grids in [0, 1]; delays
+    are milliseconds with the 0-delay convention mapped to 100 ms
+    (the browser-compatible default, documented not inferred).
+    ``max_frames`` > 0 stops early — timestamp sampling rarely needs
+    the whole animation. Raises ValueError outside the subset (same
+    contract as gif_decode_gray, which returns the FIRST frame at the
+    frame's own dims for the still-image ladder)."""
+    if len(payload) < 13 or payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF (bad signature)")
+    sw, sh = struct.unpack_from("<HH", payload, 6)
+    if sw == 0 or sh == 0:
+        raise ValueError("corrupt gif: empty logical screen")
+    packed = payload[10]
+    bg_index = payload[11]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x7)
+        if pos + 3 * n > len(payload):
+            raise ValueError("corrupt gif: truncated color table")
+        gct = np.frombuffer(
+            payload, dtype=np.uint8, count=3 * n, offset=pos
+        ).reshape(n, 3)
+        pos += 3 * n
+    bg_rgb = (gct[bg_index] if gct is not None and bg_index < len(gct)
+              else np.zeros(3, np.uint8))
+    canvas = np.broadcast_to(bg_rgb, (sh, sw, 3)).copy()
+    frames: list[np.ndarray] = []
+    delays: list[int] = []
+    disposal, transparent, delay_cs = 0, None, 0
+    while pos < len(payload):
+        b0 = payload[pos]
+        if b0 == 0x3B:  # trailer
+            break
+        if b0 == 0x21:  # extension
+            if pos + 2 >= len(payload):
+                raise ValueError("corrupt gif: truncated extension")
+            label = payload[pos + 1]
+            pos += 2
+            if label == 0xF9 and payload[pos] >= 4:
+                gce = payload[pos + 1:pos + 5]
+                disposal = (gce[0] >> 2) & 0x7
+                delay_cs = gce[1] | (gce[2] << 8)
+                transparent = gce[3] if gce[0] & 1 else None
+            while pos < len(payload) and payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if b0 != 0x2C:
+            raise ValueError(f"corrupt gif: unknown block 0x{b0:02x}")
+        if pos + 11 > len(payload):
+            raise ValueError("corrupt gif: truncated image descriptor")
+        left, top, fw, fh = struct.unpack_from("<HHHH", payload, pos + 1)
+        ipacked = payload[pos + 9]
+        pos += 10
+        pal = gct
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x7)
+            if pos + 3 * n > len(payload):
+                raise ValueError("corrupt gif: truncated color table")
+            pal = np.frombuffer(
+                payload, dtype=np.uint8, count=3 * n, offset=pos
+            ).reshape(n, 3)
+            pos += 3 * n
+        if pal is None:
+            raise ValueError("corrupt gif: no color table")
+        if fw == 0 or fh == 0 or left + fw > sw or top + fh > sh:
+            raise ValueError("corrupt gif: frame outside logical screen")
+        min_code = payload[pos]
+        pos += 1
+        lzw = bytearray()
+        while pos < len(payload) and payload[pos] != 0:
+            ln = payload[pos]
+            lzw += payload[pos + 1:pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1  # block terminator
+        idx = np.frombuffer(
+            _gif_lzw_decode(min_code, bytes(lzw), fw * fh), dtype=np.uint8
+        ).astype(np.int64).reshape(fh, fw)
+        if ipacked & 0x40:  # interlaced
+            order = (
+                list(range(0, fh, 8)) + list(range(4, fh, 8))
+                + list(range(2, fh, 4)) + list(range(1, fh, 2))
+            )
+            deint = np.empty_like(idx)
+            for src_i, dst_i in enumerate(order):
+                deint[dst_i] = idx[src_i]
+            idx = deint
+        if int(idx.max(initial=0)) >= len(pal):
+            raise ValueError("corrupt gif: palette index out of range")
+        prev = canvas.copy() if disposal == 3 else None
+        region = canvas[top:top + fh, left:left + fw]
+        mask = (idx != transparent) if transparent is not None \
+            else np.ones((fh, fw), dtype=bool)
+        region[mask] = pal[idx[mask]]
+        luma = (0.299 * canvas[:, :, 0].astype(np.float64)
+                + 0.587 * canvas[:, :, 1] + 0.114 * canvas[:, :, 2])
+        frames.append(
+            np.clip(luma / 255.0, 0.0, 1.0).astype(np.float32))
+        delays.append(delay_cs * 10 if delay_cs > 0 else 100)
+        if disposal == 2:
+            canvas[top:top + fh, left:left + fw] = bg_rgb
+        elif disposal == 3:
+            canvas = prev
+        disposal, transparent, delay_cs = 0, None, 0
+        if max_frames and len(frames) >= max_frames:
+            return frames, delays
+    if not frames:
+        raise ValueError("corrupt gif: no image frame")
+    return frames, delays
+
+
 def _resize8(gray: np.ndarray) -> np.ndarray:
     """Area-mean resize of an (H, W) grid to 8x8 (the stdlib analog of
     the PIL resize; exact resampling kernels differ between the two
@@ -650,11 +770,32 @@ def decode_metrics(features: DataFrame) -> DataFrame:
     return features.groupBy("decode_status", "fmt").agg(F.count("*").alias("n"))
 
 
-def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
-    """Video frame sampling plumbing: one row per sampled timestamp.
-    The decode is stubbed; the explode/row-multiplication shape (and its
-    cost model: output rows = duration/interval) is the real thing."""
-    return (
+FRAME_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("frame_ts_ms", T.LongType(), False),
+        T.StructField("frame_index", T.IntegerType(), True),
+        T.StructField("feature", T.ArrayType(T.FloatType()), True),
+        T.StructField("decode_status", T.StringType(), False),
+        T.StructField("fmt", T.StringType(), False),
+    ]
+)
+
+
+def frame_sample(media: DataFrame, every_ms: int = 1000,
+                 decode: bool = False) -> DataFrame:
+    """Video/animation frame sampling: one row per sampled timestamp
+    (explode over duration metadata — output rows = duration/interval,
+    the real cost model). With decode=False (default) the payload rides
+    along undecoded. With decode=True a second mapInPandas stage
+    REALLY decodes animated GIFs (gif_decode_frames: compositing,
+    disposal, transparency) and maps each timestamp to its frame via
+    the cumulative delays; other containers (mp4 etc.) have no
+    pure-stdlib decoder and stay fake/unsupported-as-data. The decode
+    is memoized per media_id within each Arrow batch — explode keeps a
+    payload's rows adjacent (no shuffle between the two stages), so
+    each animation decodes once, not once per sampled frame."""
+    sampled = (
         media.where(F.col("kind") == "video")
         .withColumn(
             "frame_ts_ms",
@@ -668,6 +809,63 @@ def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
         )
         .select("media_id", "frame_ts_ms", "payload")
     )
+    if not decode:
+        return sampled
+    allow_fake = _fake_decode_allowed()  # driver-side, shipped in closure
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            memo: dict = {}
+            ids, tss, fidx, feats, statuses, fmts = [], [], [], [], [], []
+            for mid, ts, payload in zip(
+                pdf["media_id"], pdf["frame_ts_ms"], pdf["payload"]
+            ):
+                if mid not in memo:
+                    raw = bytes(payload) if payload is not None else b""
+                    fmt = sniff_format(raw)
+                    if fmt == "gif":
+                        try:
+                            frames, delays = gif_decode_frames(raw)
+                            ends = np.cumsum(delays)
+                            memo[mid] = ("real", fmt,
+                                         [_resize8(f) for f in frames], ends)
+                        except Exception:
+                            memo[mid] = ("corrupt", fmt, None, None)
+                    else:
+                        memo[mid] = ("unsupported", fmt, None, None)
+                status, fmt, grids, ends = memo[mid]
+                ids.append(mid)
+                tss.append(int(ts))
+                fmts.append(fmt)
+                if status == "real":
+                    i = min(int(np.searchsorted(ends, int(ts), side="right")),
+                            len(grids) - 1)
+                    fidx.append(i)
+                    feats.append(grids[i].reshape(-1))
+                    statuses.append("real")
+                elif allow_fake:
+                    # deterministic per-(payload, ts) fake frame
+                    raw = bytes(payload) if payload is not None else b""
+                    fidx.append(None)
+                    feats.append(_fake_grid(
+                        raw + str(int(ts)).encode()).reshape(-1))
+                    statuses.append("fake")
+                else:
+                    fidx.append(None)
+                    feats.append(None)
+                    statuses.append(status)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "frame_ts_ms": np.array(tss, dtype=np.int64),
+                    "frame_index": pd.array(fidx, dtype="Int32"),
+                    "feature": feats,
+                    "decode_status": statuses,
+                    "fmt": fmts,
+                }
+            )
+
+    return sampled.mapInPandas(fn, FRAME_FEATURE_SCHEMA)
 
 
 def synth_media(spark, n: int = 64, seed: int = 42) -> DataFrame:

@@ -171,3 +171,129 @@ def test_ladder_status_for_gif():
     _, status, fmt = _decode_image_status(_gif(img, _lzw_real)[:20],
                                           allow_fake=False)
     assert fmt == "gif" and status == "corrupt" or (HAVE_PIL and status)
+
+
+# ---------------------------------------------------------------------------
+# animated GIF: gif_decode_frames (compositing, disposal, transparency)
+# ---------------------------------------------------------------------------
+
+
+def _agif(frame_specs, screen, bg_index=0) -> bytes:
+    """Animated GIF89a builder with an identity gray palette.
+    frame_specs: list of dicts with keys img (uint8 2d), left, top,
+    delay_cs, disposal, transparent (index or None)."""
+    sw, sh = screen
+    pal = b"".join(bytes((v, v, v)) for v in range(256))
+    out = bytearray(b"GIF89a" + struct.pack("<HH", sw, sh))
+    out += bytes((0xF7, bg_index, 0)) + pal
+    for spec in frame_specs:
+        img = spec["img"]
+        fh, fw = img.shape
+        transparent = spec.get("transparent")
+        packed = (spec.get("disposal", 0) & 0x7) << 2
+        tidx = 0
+        if transparent is not None:
+            packed |= 1
+            tidx = transparent
+        delay = spec.get("delay_cs", 0)
+        out += bytes((0x21, 0xF9, 4, packed, delay & 0xFF,
+                      (delay >> 8) & 0xFF, tidx, 0))
+        out += b"\x2c" + struct.pack(
+            "<HHHH", spec.get("left", 0), spec.get("top", 0), fw, fh
+        ) + b"\x00"
+        out += bytes((8,)) + _subblocks(_lzw_real(8, img.tobytes()))
+    out += b"\x3b"
+    return bytes(out)
+
+
+def _luma_eq(frame: np.ndarray, expect: np.ndarray) -> bool:
+    return np.abs(frame * 255.0 - expect.astype(np.float64)).max() < 0.5
+
+
+def test_animated_frames_and_delays():
+    from amp.multimodal import gif_decode_frames
+
+    rng = np.random.default_rng(3)
+    a = rng.integers(0, 256, size=(6, 8), dtype=np.uint8)
+    b = rng.integers(0, 256, size=(6, 8), dtype=np.uint8)
+    data = _agif(
+        [{"img": a, "delay_cs": 5}, {"img": b, "delay_cs": 0}],
+        screen=(8, 6),
+    )
+    frames, delays = gif_decode_frames(data)
+    assert len(frames) == 2
+    assert delays == [50, 100]  # 0-delay convention -> 100 ms
+    assert _luma_eq(frames[0], a) and _luma_eq(frames[1], b)
+    # max_frames early stop
+    frames1, _ = gif_decode_frames(data, max_frames=1)
+    assert len(frames1) == 1 and _luma_eq(frames1[0], a)
+
+
+def test_animated_offsets_transparency_and_disposal():
+    from amp.multimodal import gif_decode_frames
+
+    base = np.full((6, 6), 200, np.uint8)
+    patch = np.full((2, 3), 30, np.uint8)
+    patch[0, 1] = 7  # this index is declared transparent
+    data = _agif(
+        [
+            {"img": base, "disposal": 1},
+            # frame 2: offset patch with transparency, then restore-to-bg
+            {"img": patch, "left": 2, "top": 1, "transparent": 7,
+             "disposal": 2},
+            # frame 3: tiny corner patch on the post-disposal canvas
+            {"img": np.full((1, 1), 90, np.uint8)},
+        ],
+        screen=(6, 6),
+        bg_index=0,
+    )
+    frames, _ = gif_decode_frames(data)
+    assert len(frames) == 3
+    # frame 2: patch composited at (2,1); transparent pixel keeps 200
+    exp2 = base.copy().astype(np.float64)
+    exp2[1:3, 2:5] = patch
+    exp2[1, 3] = 200.0
+    assert _luma_eq(frames[1], exp2)
+    # frame 3: the patch region was restored to background (index 0)
+    exp3 = exp2.copy()
+    exp3[1:3, 2:5] = 0.0
+    exp3[0, 0] = 90.0
+    assert _luma_eq(frames[2], exp3)
+
+
+def test_animated_disposal_restore_previous():
+    from amp.multimodal import gif_decode_frames
+
+    base = np.full((4, 4), 100, np.uint8)
+    overlay = np.full((2, 2), 250, np.uint8)
+    data = _agif(
+        [
+            {"img": base, "disposal": 1},
+            {"img": overlay, "left": 1, "top": 1, "disposal": 3},
+            {"img": np.full((1, 1), 10, np.uint8), "left": 3, "top": 3},
+        ],
+        screen=(4, 4),
+    )
+    frames, _ = gif_decode_frames(data)
+    exp2 = base.astype(np.float64).copy()
+    exp2[1:3, 1:3] = 250.0
+    assert _luma_eq(frames[1], exp2)
+    # frame 3: the overlay vanished (restore-previous), corner painted
+    exp3 = base.astype(np.float64).copy()
+    exp3[3, 3] = 10.0
+    assert _luma_eq(frames[2], exp3)
+
+
+def test_animated_corrupt_cases():
+    from amp.multimodal import gif_decode_frames
+
+    img = np.zeros((3, 3), np.uint8)
+    good = _agif([{"img": img}], screen=(3, 3))
+    with pytest.raises(ValueError, match="corrupt|not a GIF"):
+        gif_decode_frames(good[:25])
+    # frame outside the logical screen
+    bad = _agif([{"img": img, "left": 2, "top": 0}], screen=(3, 3))
+    with pytest.raises(ValueError, match="outside logical screen"):
+        gif_decode_frames(bad)
+    # first frame still decodes via the still-image path
+    assert gif_decode_gray(good).shape == (3, 3)

@@ -307,3 +307,81 @@ def test_decode_corrupt_png_raises_without_fake():
     g1 = mm._decode_image(bad, allow_fake=True)
     g2 = mm._decode_image(bad, allow_fake=True)
     assert g1.shape == (8, 8) and (g1 == g2).all()
+
+
+def test_frame_sample_real_gif_decode(spark, monkeypatch):
+    """frame_sample(decode=True): animated GIFs REALLY decode — each
+    sampled timestamp maps to its frame via the cumulative delays —
+    while undecodable containers stay status-as-data."""
+    import struct as _struct
+
+    import numpy as np
+
+    from amp import multimodal as mm
+
+    monkeypatch.setenv("AMP_FAKE_DECODE", "0")
+    # two frames, 200 ms each, visually distinct
+    pal = b"".join(bytes((v, v, v)) for v in range(256))
+    f0 = np.full((4, 4), 40, np.uint8)
+    f1 = np.full((4, 4), 220, np.uint8)
+
+    def lzw_trivial(data: bytes) -> bytes:
+        # clear-per-pixel appendix-F floor encoder, 8-bit codes
+        acc, nbits, out = 0, 0, bytearray()
+        for code in [256] + [c for b in data for c in (b, 256)] + [257]:
+            acc |= code << nbits
+            nbits += 9
+            while nbits >= 8:
+                out.append(acc & 0xFF)
+                acc >>= 8
+                nbits -= 8
+        if nbits:
+            out.append(acc & 0xFF)
+        return bytes(out)
+
+    body = bytearray(b"GIF89a" + _struct.pack("<HH", 4, 4)
+                     + bytes((0xF7, 0, 0)) + pal)
+    for img in (f0, f1):
+        raw = lzw_trivial(img.tobytes())
+        body += bytes((0x21, 0xF9, 4, 0x04, 20, 0, 0, 0))  # 200 ms, keep
+        body += b"\x2c" + _struct.pack("<HHHH", 0, 0, 4, 4) + b"\x00"
+        body += bytes((8,))
+        for i in range(0, len(raw), 255):
+            part = raw[i:i + 255]
+            body += bytes((len(part),)) + part
+        body += b"\x00"
+    body += b"\x3b"
+    gif = bytes(body)
+
+    media = spark.createDataFrame(
+        [
+            {"media_id": "anim0", "kind": "video", "mime": "image/gif",
+             "payload": gif, "width": 4, "height": 4, "duration_ms": 400},
+            {"media_id": "vid0", "kind": "video", "mime": "video/mp4",
+             "payload": b"\x00\x00\x00\x18ftypmp42", "width": None,
+             "height": None, "duration_ms": 300},
+        ],
+        schema=mm.MEDIA_SCHEMA,
+    )
+    rows = {(r["media_id"], r["frame_ts_ms"]): r
+            for r in mm.frame_sample(media, every_ms=150,
+                                     decode=True).collect()}
+    # anim0 sampled at 0/150/300: frames 0, 0, 1 by cumulative delays
+    assert rows[("anim0", 0)]["frame_index"] == 0
+    assert rows[("anim0", 150)]["frame_index"] == 0
+    assert rows[("anim0", 300)]["frame_index"] == 1
+    for ts, want in ((0, 40 / 255.0), (300, 220 / 255.0)):
+        r = rows[("anim0", ts)]
+        assert r["decode_status"] == "real" and r["fmt"] == "gif"
+        assert abs(r["feature"][0] - want) < 1e-3
+    # the mp4 container has no pure-stdlib decoder: status stays data
+    for ts in (0, 150):
+        r = rows[("vid0", ts)]
+        assert r["decode_status"] == "unsupported"
+        assert r["feature"] is None and r["frame_index"] is None
+
+    # fakes allowed: every sampled frame gets a deterministic feature
+    monkeypatch.setenv("AMP_FAKE_DECODE", "1")
+    rows2 = mm.frame_sample(media, every_ms=150, decode=True).collect()
+    assert all(r["feature"] is not None for r in rows2)
+    assert {r["decode_status"] for r in rows2} <= {"real", "fake"}
