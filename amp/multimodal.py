@@ -5,10 +5,11 @@ The image libraries are not in this container, so the decode ladder
 carries its own pure-stdlib codecs: PIL when importable, else real
 decoders for PNG (RFC 2083 subset, below), baseline AND progressive
 JPEG (amp.jpeg, ITU T.81 incl. Annex G), lossless WebP (amp.vp8l),
-BMP incl. RLE4/RLE8 and first-frame GIF (below); everything else
-(lossy VP8, animations, arithmetic-coded JPEG, BMP bitfields)
-degrades to a deterministic fake or a NULL feature with
-decode_status as data (AMP_FAKE_DECODE). The Spark-side plumbing is real and tested:
+BMP incl. RLE4/RLE8, first-frame + animated GIF, and WAV/PCM audio
+(below — the audio rows ride the same status ladder via a coarse 8x8
+spectrogram grid); everything else (lossy VP8, arithmetic-coded JPEG,
+BMP bitfields, compressed audio) degrades to a deterministic fake or
+a NULL feature with decode_status as data (AMP_FAKE_DECODE). The Spark-side plumbing is real and tested:
 schemas, Arrow batch shapes, mapInPandas signatures, partition-size
 control. On a real cluster only the ladder's top rung changes (PIL/
 libav present); the plan shape is already the scalable one: a single
@@ -74,8 +75,11 @@ def sniff_format(payload: bytes) -> str:
     for magic, name in _MAGIC:
         if payload.startswith(magic):
             return name
-    if len(payload) >= 12 and payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
-        return "webp"
+    if len(payload) >= 12 and payload[:4] == b"RIFF":
+        if payload[8:12] == b"WEBP":
+            return "webp"
+        if payload[8:12] == b"WAVE":
+            return "wav"
     return "unknown"
 
 
@@ -610,6 +614,137 @@ def gif_decode_frames(payload: bytes,
     return frames, delays
 
 
+def wav_decode(payload: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE PCM -> (mono float32 samples in [-1, 1], sample_rate).
+    Public format: 'fmt ' + 'data' chunks; supports integer PCM
+    (format 1: unsigned 8-bit, signed 16/24/32-bit little-endian) and
+    IEEE float (format 3: 32/64-bit). Multi-channel audio is downmixed
+    by mean. Compressed formats (ADPCM, mu-law, MP3-in-WAV) raise
+    ValueError("unsupported ..."), torn files "corrupt ..." — the
+    same status contract as the image decoders."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("corrupt wav: bad RIFF/WAVE header")
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(payload):
+        tag = payload[pos:pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8:pos + 8 + size]
+        if tag == b"fmt " and len(body) >= 16:
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif tag == b"data":
+            if len(body) != size:
+                raise ValueError("corrupt wav: truncated data chunk")
+            data = body
+        pos += 8 + size + (size & 1)
+    if fmt is None or data is None:
+        raise ValueError("corrupt wav: missing fmt/data chunk")
+    audio_format, n_ch, rate, _, _, bits = fmt
+    if audio_format == 0xFFFE:  # WAVE_FORMAT_EXTENSIBLE
+        raise ValueError("unsupported wav: extensible format")
+    if audio_format not in (1, 3):
+        raise ValueError(f"unsupported wav: format {audio_format}")
+    if n_ch < 1 or rate < 1:
+        raise ValueError("corrupt wav: bad channel count / rate")
+    if audio_format == 1:
+        if bits == 8:
+            x = np.frombuffer(data, dtype=np.uint8).astype(np.float32)
+            x = (x - 128.0) / 128.0
+        elif bits == 16:
+            x = np.frombuffer(
+                data[: len(data) & ~1], dtype="<i2").astype(np.float32)
+            x /= 32768.0
+        elif bits == 24:
+            n = len(data) // 3
+            b = np.frombuffer(data, dtype=np.uint8, count=n * 3
+                              ).reshape(n, 3).astype(np.int32)
+            v = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+            v = np.where(v >= 1 << 23, v - (1 << 24), v)
+            x = v.astype(np.float32) / float(1 << 23)
+        elif bits == 32:
+            x = np.frombuffer(
+                data[: len(data) & ~3], dtype="<i4").astype(np.float32)
+            x /= float(1 << 31)
+        else:
+            raise ValueError(f"unsupported wav: {bits}-bit PCM")
+    else:  # IEEE float
+        if bits == 32:
+            x = np.frombuffer(data[: len(data) & ~3], dtype="<f4"
+                              ).astype(np.float32)
+        elif bits == 64:
+            x = np.frombuffer(data[: len(data) & ~7], dtype="<f8"
+                              ).astype(np.float32)
+        else:
+            raise ValueError(f"unsupported wav: {bits}-bit float")
+    if n_ch > 1:
+        n = len(x) // n_ch
+        x = x[: n * n_ch].reshape(n, n_ch).mean(axis=1)
+    if len(x) == 0:
+        raise ValueError("corrupt wav: empty audio")
+    return np.clip(x, -1.0, 1.0).astype(np.float32), int(rate)
+
+
+def wav_encode(samples: np.ndarray, rate: int = 8000, bits: int = 16,
+               channels: int = 1, ieee_float: bool = False) -> bytes:
+    """Mono-or-interleaved float samples in [-1, 1] -> RIFF/WAVE bytes
+    (the wav_decode test fixture; also used by synth_media so the
+    audio rows exercise the REAL decode branch in CI)."""
+    x = np.asarray(samples, dtype=np.float64)
+    if ieee_float:
+        body = x.astype("<f4" if bits == 32 else "<f8").tobytes()
+        audio_format = 3
+    elif bits == 8:
+        body = np.rint(np.clip(x, -1, 1) * 127 + 128).astype(np.uint8).tobytes()
+        audio_format = 1
+    elif bits == 16:
+        body = np.rint(np.clip(x, -1, 1) * 32767).astype("<i2").tobytes()
+        audio_format = 1
+    elif bits == 24:
+        v = np.rint(np.clip(x, -1, 1) * ((1 << 23) - 1)).astype(np.int32)
+        b = np.empty((len(v), 3), dtype=np.uint8)
+        b[:, 0] = v & 0xFF
+        b[:, 1] = (v >> 8) & 0xFF
+        b[:, 2] = (v >> 16) & 0xFF
+        body = b.tobytes()
+        audio_format = 1
+    elif bits == 32:
+        v = np.clip(x, -1, 1) * ((1 << 31) - 1)
+        body = v.astype("<i4").tobytes()
+        audio_format = 1
+    else:
+        raise ValueError(f"unsupported bits: {bits}")
+    block = channels * (bits // 8)
+    fmt = struct.pack("<HHIIHH", audio_format, channels, rate,
+                      rate * block, block, bits)
+    chunks = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+              + b"data" + struct.pack("<I", len(body)) + body
+              + (b"\x00" if len(body) & 1 else b""))
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def wav_feature_grid(payload: bytes) -> np.ndarray:
+    """WAV -> 8x8 float32 grid in [0, 1]: 8 equal time windows x 8
+    rFFT magnitude bands (a coarse deterministic spectrogram) — the
+    audio analog of the image path's 8x8 luma grid, so the same
+    downstream feature plumbing applies to both modalities."""
+    samples, _ = wav_decode(payload)
+    n = len(samples)
+    grid = np.zeros((8, 8), dtype=np.float64)
+    edges = np.linspace(0, n, 9).astype(int)
+    for t in range(8):
+        win = samples[edges[t]:max(edges[t + 1], edges[t] + 1)]
+        mag = np.abs(np.fft.rfft(win.astype(np.float64)))
+        bands = np.linspace(0, len(mag), 9).astype(int)
+        for f in range(8):
+            seg = mag[bands[f]:max(bands[f + 1], bands[f] + 1)]
+            grid[t, f] = float(seg.mean())
+    peak = grid.max()
+    if peak > 0:
+        grid /= peak
+    return grid.astype(np.float32)
+
+
 def _resize8(gray: np.ndarray) -> np.ndarray:
     """Area-mean resize of an (H, W) grid to 8x8 (the stdlib analog of
     the PIL resize; exact resampling kernels differ between the two
@@ -646,6 +781,17 @@ def _decode_image_status(
          NULL feature with status corrupt/unsupported."""
     raw = payload or b""
     fmt = sniff_format(raw)
+    if fmt == "wav":
+        # audio rides the same status ladder: a coarse 8x8 spectrogram
+        # grid (wav_feature_grid) is the modality's analog of the luma
+        # grid. Checked before PIL — Pillow has no audio path.
+        try:
+            return wav_feature_grid(raw), "real", fmt
+        except Exception as e:
+            if allow_fake:
+                return _fake_grid(raw), "fake", fmt
+            status = "unsupported" if "unsupported" in str(e) else "corrupt"
+            return None, status, fmt
     if HAVE_PIL:
         import io as _io
 
@@ -880,6 +1026,15 @@ def synth_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
             payload = png_encode(
                 rng.randint(0, 256, size=(8, 8), dtype=np.uint8),
                 filter_type=i % 5,
+            )
+        elif kind == "audio":
+            # REAL deterministic PCM16 WAV payloads (sine + noise mix)
+            # so the audio rows exercise wav_decode in CI
+            rng = np.random.RandomState(seed * 100_000 + i)
+            t = np.arange(512) / 8000.0
+            payload = wav_encode(
+                0.5 * np.sin(2 * np.pi * (220 + 55 * (i % 8)) * t)
+                + 0.1 * rng.standard_normal(512)
             )
         else:
             payload = hashlib.sha256(f"{seed}:{i}".encode()).digest() * (i % 7 + 1)
