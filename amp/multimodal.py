@@ -543,6 +543,8 @@ def gif_decode_frames(payload: bytes,
             pos += 2
             if label == 0xF9 and payload[pos] >= 4:
                 gce = payload[pos + 1:pos + 5]
+                if len(gce) < 4:
+                    raise ValueError("corrupt gif: truncated GCE")
                 disposal = (gce[0] >> 2) & 0x7
                 delay_cs = gce[1] | (gce[2] << 8)
                 transparent = gce[3] if gce[0] & 1 else None

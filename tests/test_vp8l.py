@@ -223,3 +223,21 @@ def test_randomized_roundtrip_sweep():
         if rng.random() < 0.3 and w > 4 and h > 4:
             kw["meta_bits"] = int(rng.integers(2, 6))
         _rt(img, lz77=bool(rng.random() < 0.7), **kw)
+
+
+def test_size_gate_counts_as_unsupported(monkeypatch):
+    """The pure-python rung refuses to grind through huge images
+    (per-pixel entropy loop): above AMP_PURE_DECODE_MAX_PIXELS the
+    status is unsupported-as-data, never a multi-minute stall."""
+    img = np.full((8, 8, 4), 50, np.uint8)
+    data = vp8l.encode_lossless(img)
+    monkeypatch.setenv("AMP_PURE_DECODE_MAX_PIXELS", "16")
+    with pytest.raises(ValueError, match="unsupported webp.*size gate"):
+        vp8l.decode_rgba(data)
+    from amp.multimodal import _decode_image_status
+    _, status, fmt = _decode_image_status(data, allow_fake=False)
+    from amp.multimodal import HAVE_PIL
+    if not HAVE_PIL:
+        assert (status, fmt) == ("unsupported", "webp")
+    monkeypatch.setenv("AMP_PURE_DECODE_MAX_PIXELS", "2000000")
+    assert np.array_equal(vp8l.decode_rgba(data), img)
