@@ -239,6 +239,110 @@ def append_records(
     )
 
 
+def remove_records(
+    index: MatchIndex,
+    record_ids,
+    policy: str = "frozen",
+    embeddings: DataFrame | None = None,
+) -> MatchIndex:
+    """Incremental run-0 shrink — the inverse of ``append_records``
+    (the reference's only removal path is the full resync truncate,
+    shared.go:244-256; this skips the rebuild): drop the named records
+    and repair the one-row-per-content side table.
+
+    Removal is EXACT: every id must exist in the index (a typo'd id
+    silently "removing" nothing would let callers believe a record is
+    gone — fail loudly instead), and removing the last record is
+    refused (an empty index should be a rebuild decision, not a state).
+
+    Representative repair mirrors append's swap handling: if a removed
+    record WAS the representative of a content that still has other
+    rows, the content's new winner (min surviving record_id) is
+    featurized; contents whose every row was removed lose their side
+    row entirely.
+
+    IDF policy as in append_records: ``frozen`` keeps the dictionary
+    (document frequencies do not shift — results equal a fresh
+    ``build_index(remaining, idf_override=old_idf)`` exactly, tested),
+    ``refresh`` recomputes over the survivors. Provided-embedding
+    indexes: a swap promotes a record whose vector was never kept (the
+    side table stores representative vectors only) — pass
+    ``embeddings`` covering the promoted ids, or the attach fails
+    loudly rather than scoring garbage."""
+    if policy not in ("frozen", "refresh"):
+        raise ValueError(f"remove_records: unknown policy {policy!r}")
+    cfg = index.cfg
+    spark = index.records.sparkSession
+    if isinstance(record_ids, DataFrame):
+        ids_df = record_ids.select(
+            F.col(record_ids.columns[0]).cast("string").alias("record_id")
+        )
+    else:
+        ids = [str(r) for r in record_ids]
+        if not ids:
+            raise ValueError("remove_records: empty id list")
+        ids_df = spark.createDataFrame([(i,) for i in ids],
+                                       "record_id string")
+    ids_df = ids_df.dropDuplicates(["record_id"]).localCheckpoint(eager=True)
+    n_req = ids_df.count()
+    n_hit = ids_df.join(
+        index.records.select("record_id"), "record_id", "leftsemi"
+    ).count()
+    if n_hit != n_req:
+        raise ValueError(
+            f"remove_records: {n_req - n_hit} of {n_req} ids are not in "
+            "the index — removal is exact, not best-effort"
+        )
+    records = index.records.join(
+        ids_df, "record_id", "left_anti"
+    ).localCheckpoint(eager=True)
+    n_rows, _, n_contents = normalize.uniqueness_stats(records)
+    if n_rows == 0:
+        raise ValueError(
+            "remove_records: removal would empty the index — rebuild "
+            "instead of shrinking to nothing"
+        )
+    winners = normalize.winner_ids(records).localCheckpoint(eager=True)
+    reps = normalize.representatives_from_winners(records, winners)
+
+    old_vecs = (index.sides.select("record_id", "embedding")
+                if index.uses_provided_embeddings else None)
+    if embeddings is not None and old_vecs is not None:
+        old_vecs = old_vecs.unionByName(
+            embeddings.select(
+                F.col(embeddings.columns[0]).cast("string").alias("record_id"),
+                F.col(embeddings.columns[1]).alias("embedding"),
+            )
+        ).dropDuplicates(["record_id"])
+
+    if policy == "refresh":
+        idf = features.idf_map(reps, n_contents, cfg)
+        sides = scoring.side_features_onepass(reps, idf, cfg)
+        if index.uses_provided_embeddings:
+            sides = scoring.attach_embeddings(
+                sides, old_vecs, expected_ids=reps.select("record_id")
+            )
+    else:
+        idf = index.idf
+        old_ids = index.sides.select("record_id")
+        # reps promoted by the removal (their content's old winner died)
+        new_reps = reps.join(old_ids, "record_id", "left_anti")
+        add_sides = scoring.side_features_onepass(new_reps, idf, cfg)
+        if index.uses_provided_embeddings:
+            add_sides = scoring.attach_embeddings(
+                add_sides, old_vecs, expected_ids=new_reps.select("record_id")
+            )
+        keep_old = index.sides.join(
+            reps.select("record_id"), "record_id", "leftsemi"
+        )
+        sides = keep_old.select(*add_sides.columns).unionByName(add_sides)
+    sides = sides.localCheckpoint(eager=True)
+    return MatchIndex(
+        records, sides, idf, cfg,
+        uses_provided_embeddings=index.uses_provided_embeddings,
+    )
+
+
 def _blocks_for(sides: DataFrame, reps_like: DataFrame, cfg: AmpConfig) -> DataFrame:
     sigs = sides.select("record_id", "sig")
     return blocking.minhash_blocks(sigs, cfg).unionByName(

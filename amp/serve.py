@@ -1,9 +1,12 @@
 """Request-facing front door — the Spark analog of the reference's
 HTTP API (pkg/api/router.go:38-42, pkg/api/handler.go:54-163):
 
-  POST /api/v1/match       single record (JSON) or batch (JSON list)
-  POST /api/v1/duplicates  run-0 self-dedup -> entity clusters
+  POST /api/v1/match         single record (JSON) or batch (JSON list)
+  POST /api/v1/duplicates    run-0 self-dedup -> entity clusters
+  POST /api/v1/index/append  incremental run-0 extension (no rebuild)
+  POST /api/v1/index/remove  exact removal with representative repair
   GET  /healthz
+  GET  /metrics
 
 The reference serves gin handlers over Postgres; here a stdlib
 http.server adapter wraps a MatchIndex living in the driver's
@@ -28,7 +31,8 @@ from pyspark.sql import SparkSession
 
 from . import io as amp_io
 from .config import AmpConfig, DEFAULT_CONFIG
-from .incremental import MatchIndex, append_records, build_index, match_records
+from .incremental import (MatchIndex, append_records, build_index,
+                          match_records, remove_records)
 
 REQUIRED_FIELDS = ("repo", "path", "commit", "lang", "content")
 
@@ -57,6 +61,7 @@ class MatchService:
             "match_requests": 0,
             "duplicates_requests": 0,
             "append_requests": 0,
+            "remove_requests": 0,
             "errors": 0,
         }
 
@@ -147,6 +152,38 @@ class MatchService:
             if old_dup is not None:
                 old_dup.unpersist()
         return {"appended": len(records), "index_records": int(n_total)}
+
+    def remove(self, record_ids: list[str], policy: str = "frozen") -> dict:
+        """POST /api/v1/index/remove: drop records from the live index
+        without a rebuild (amp.incremental.remove_records — exact
+        removal with representative repair; the reference's only
+        removal path is the resync truncate+reload). Same concurrency
+        contract as ``append``: index mutations serialize on
+        ``_append_lock``, the new index swaps in atomically, and the
+        pinned duplicates cache is invalidated on swap."""
+        if not record_ids:
+            raise ValueError("remove: empty record_ids list")
+        if not all(isinstance(r, str) for r in record_ids):
+            raise ValueError("remove: record_ids must be strings")
+        if self.index.uses_provided_embeddings:
+            # a representative swap would need the promoted record's
+            # vector, which a JSON id list can't carry
+            raise ValueError(
+                "remove over HTTP is not supported for provided-embedding "
+                "indexes; use amp.incremental.remove_records directly"
+            )
+        with self._append_lock:
+            new_index = remove_records(self.index, record_ids, policy=policy)
+            n_total = new_index.records.count()
+            with self._lock:
+                self.index = new_index
+                self.metrics["remove_requests"] += 1
+                self.metrics["index_records"] = int(n_total)
+                old_dup, self._dup_df = self._dup_df, None
+            if old_dup is not None:
+                old_dup.unpersist()
+        return {"removed": len(set(record_ids)),
+                "index_records": int(n_total)}
 
     def duplicates(self, limit: int = 1000, refresh: bool = False) -> list[dict]:
         """POST /api/v1/duplicates: cluster the index's own records
@@ -330,6 +367,19 @@ def make_handler(service: MatchService):
                     if not isinstance(records, list):
                         raise ValueError('append body needs a "records" list')
                     self._send(200, service.append(records, policy=policy))
+                elif self.path == "/api/v1/index/remove":
+                    # body: {"record_ids": [...], "policy": "frozen"|"refresh"}
+                    # or a bare JSON list of record ids (frozen policy)
+                    if isinstance(payload, list):
+                        rec_ids, policy = payload, "frozen"
+                    elif isinstance(payload, dict):
+                        rec_ids = payload.get("record_ids")
+                        policy = payload.get("policy", "frozen")
+                    else:
+                        raise ValueError("remove body must be a list or object")
+                    if not isinstance(rec_ids, list):
+                        raise ValueError('remove body needs a "record_ids" list')
+                    self._send(200, service.remove(rec_ids, policy=policy))
                 else:
                     self._send(404, {"error": "not found"})
             except ValueError as e:

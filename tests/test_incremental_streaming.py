@@ -114,6 +114,117 @@ def test_append_refresh_policy_recomputes_idf(spark, small_corpus):
         append_records(idx1, extra)  # same ids again -> loud failure
 
 
+
+def test_remove_records_frozen_equals_fresh_frozen_build(spark, small_corpus):
+    """MatchIndex.remove contract (inverse of append; the reference
+    only removes via resync truncate+reload): under the frozen policy
+    the shrunken index's records + side features equal a fresh build
+    over the survivors WITH THE SAME dictionary — including
+    representative swaps where the removed record WAS a content's
+    representative."""
+    from amp.incremental import remove_records
+
+    files, _ = small_corpus
+    idx0 = build_index(files, CFG)
+    # remove: every record of one whole content, the REPRESENTATIVE of
+    # a multi-row content (forcing a swap), and one non-representative
+    by_content = (
+        idx0.records.groupBy("content_sha")
+        .agg(F.collect_list("record_id").alias("ids"))
+        .collect()
+    )
+    multi = sorted(
+        (r for r in by_content if len(r["ids"]) >= 2),
+        key=lambda r: r["content_sha"],
+    )
+    assert len(multi) >= 2, "small_corpus must contain duplicate contents"
+    gone_whole = sorted(multi[0]["ids"])            # whole content vanishes
+    swap_rep = [sorted(multi[1]["ids"])[0]]         # rep dies, content stays
+    non_rep = [sorted(multi[1]["ids"])[-1]] if len(multi[1]["ids"]) > 2 else []
+    removed = gone_whole + swap_rep + non_rep
+    idx1 = remove_records(idx0, removed, policy="frozen")
+
+    from amp.normalize import record_id_expr
+
+    remaining = files.withColumn("record_id", record_id_expr()).join(
+        spark.createDataFrame([(i,) for i in removed], "record_id string"),
+        "record_id", "left_anti",
+    ).drop("record_id")
+    fresh = build_index(remaining, CFG, idf_override=idx0.idf)
+    assert idx1.records.count() == fresh.records.count()
+    a = {r["record_id"]: r for r in idx1.sides.collect()}
+    f = {r["record_id"]: r for r in fresh.sides.collect()}
+    assert set(a) == set(f)
+    # the swap happened: the dead rep's side row is gone, the content's
+    # new winner is present
+    assert swap_rep[0] not in a
+    for rid, fr in f.items():
+        ar = a[rid]
+        assert ar["tfblob"] == fr["tfblob"], rid
+        assert list(ar["sig"]) == list(fr["sig"]), rid
+        assert list(ar["embedding"]) == list(fr["embedding"]), rid
+    assert idx1.idf == idx0.idf
+
+
+def test_remove_then_match_no_longer_finds_record(spark, small_corpus):
+    from amp.incremental import remove_records
+
+    files, _ = small_corpus
+    idx0 = build_index(files, CFG)
+    by_content = (
+        idx0.records.groupBy("content_sha")
+        .agg(F.collect_list("record_id").alias("ids"),
+             F.first("repo").alias("repo"),
+             F.first("path").alias("path"),
+             F.first("commit").alias("commit"))
+        .collect()
+    )
+    victim = sorted(by_content, key=lambda r: r["content_sha"])[0]
+    idx1 = remove_records(idx0, list(victim["ids"]), policy="frozen")
+    src = files.where(
+        (F.col("repo") == victim["repo"]) & (F.col("path") == victim["path"])
+        & (F.col("commit") == victim["commit"])
+    ).collect()[0]
+    q = amp_io.single_record(
+        spark, "query/repo", "query/" + src["path"], "f" * 40,
+        src["lang"], src["content"],
+    )
+    out = match_records(idx1, q, run_id=11, top_n=5).collect()
+    gone = set(victim["ids"])
+    assert all(r["candidate_id"] not in gone for r in out)
+
+
+def test_remove_records_error_contract(spark, small_corpus):
+    from amp.incremental import remove_records
+
+    files, _ = small_corpus
+    idx0 = build_index(files, CFG)
+    all_ids = [r["record_id"] for r in idx0.records.select("record_id").collect()]
+    with pytest.raises(ValueError, match="not in"):
+        remove_records(idx0, ["no-such-id"])
+    with pytest.raises(ValueError, match="empty id list"):
+        remove_records(idx0, [])
+    with pytest.raises(ValueError, match="empty the index"):
+        remove_records(idx0, all_ids)
+    with pytest.raises(ValueError, match="unknown policy"):
+        remove_records(idx0, all_ids[:1], policy="nope")
+
+
+def test_remove_refresh_policy_recomputes_idf(spark, small_corpus):
+    from amp.incremental import remove_records
+
+    files, _ = small_corpus
+    base, extra = _split_files(files)
+    idx0 = build_index(files, CFG)
+    extra_ids = [
+        r["record_id"]
+        for r in build_index(extra, CFG).records.select("record_id").collect()
+    ]
+    idx1 = remove_records(idx0, extra_ids, policy="refresh")
+    fresh = build_index(base, CFG)
+    assert idx1.idf == fresh.idf  # zero drift under refresh
+
+
 def test_streaming_ingest_normalizes_like_batch(spark, small_corpus, tmp_path_factory):
     from amp import normalize, streaming
 

@@ -438,3 +438,84 @@ def test_http_index_append_e2e(spark, small_corpus):
     finally:
         httpd.shutdown()
         httpd.server_close()
+
+
+def test_http_index_remove_e2e(spark, small_corpus):
+    """POST /index/remove shrinks the live index: the removed record
+    stops being matchable, /metrics reflects the new size, the
+    duplicates cache is invalidated, and bad bodies are 400s."""
+    from amp.serve import MatchService, serve
+
+    from pyspark.sql import functions as F
+
+    files, _ = small_corpus
+    svc = MatchService.from_files(spark, files)
+    n0 = svc.index.records.count()
+    svc.duplicates(limit=5)  # warm the cache so remove invalidates it
+    assert svc._dup_df is not None
+    httpd = serve(svc, port=0)
+    try:
+        port = httpd.server_address[1]
+        # remove one whole content (all its record ids) so no candidate
+        # for that content can remain
+        by_content = (
+            svc.index.records.groupBy("content_sha")
+            .agg(F.collect_list("record_id").alias("ids"),
+                 F.first("repo").alias("repo"),
+                 F.first("path").alias("path"),
+                 F.first("commit").alias("commit"))
+            .collect()
+        )
+        victim = sorted(by_content, key=lambda r: r["content_sha"])[0]
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/api/v1/index/remove",
+            data=json.dumps({"record_ids": list(victim["ids"])}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req) as r:
+            body = json.loads(r.read())
+        assert body == {
+            "removed": len(set(victim["ids"])),
+            "index_records": n0 - len(set(victim["ids"])),
+        }
+        assert svc._dup_df is None, "remove must invalidate the dup cache"
+
+        # an exact-copy query no longer matches any removed id
+        src = files.where(
+            (F.col("repo") == victim["repo"])
+            & (F.col("path") == victim["path"])
+            & (F.col("commit") == victim["commit"])
+        ).collect()[0]
+        q = {"repo": "query/repo", "path": "query/" + src["path"],
+             "commit": "b" * 40, "lang": src["lang"],
+             "content": src["content"]}
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/api/v1/match",
+            data=json.dumps(q).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req) as r:
+            matches = json.loads(r.read())["matches"]
+        gone = set(victim["ids"])
+        assert all(m["candidate_id"] not in gone for m in matches)
+
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/metrics") as r:
+            counters = json.loads(r.read())["counters"]
+        assert counters["remove_requests"] == 1
+        assert counters["index_records"] == n0 - len(set(victim["ids"]))
+
+        # 400s: malformed body, unknown id, non-string ids
+        for bad in ({"record_ids": "nope"}, ["no-such-id"], [42]):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/api/v1/index/remove",
+                data=json.dumps(bad).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            try:
+                urllib.request.urlopen(req)
+                raise AssertionError("expected HTTP 400")
+            except urllib.error.HTTPError as e:
+                assert e.code == 400
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
