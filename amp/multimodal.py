@@ -5,11 +5,12 @@ The image libraries are not in this container, so the decode ladder
 carries its own pure-stdlib codecs: PIL when importable, else real
 decoders for PNG (RFC 2083 subset, below), baseline AND progressive
 JPEG (amp.jpeg, ITU T.81 incl. Annex G), lossless WebP (amp.vp8l),
-BMP incl. RLE4/RLE8, first-frame + animated GIF, and WAV/PCM audio
-(below — the audio rows ride the same status ladder via a coarse 8x8
-spectrogram grid); everything else (lossy VP8, arithmetic-coded JPEG,
-BMP bitfields, compressed audio) degrades to a deterministic fake or
-a NULL feature with decode_status as data (AMP_FAKE_DECODE). The Spark-side plumbing is real and tested:
+BMP incl. RLE4/RLE8, first-frame + animated GIF, WAV/PCM audio and
+FLAC (amp.flac, MD5-verified inside the format; the audio rows ride
+the same status ladder via a coarse 8x8 spectrogram grid); everything
+else (lossy VP8, arithmetic-coded JPEG, BMP bitfields, MP3/ADPCM)
+degrades to a deterministic fake or a NULL feature with
+decode_status as data (AMP_FAKE_DECODE). The Spark-side plumbing is real and tested:
 schemas, Arrow batch shapes, mapInPandas signatures, partition-size
 control. On a real cluster only the ladder's top rung changes (PIL/
 libav present); the plan shape is already the scalable one: a single
@@ -67,6 +68,7 @@ _MAGIC = (
     (b"\xff\xd8\xff", "jpeg"),
     (b"GIF87a", "gif"),
     (b"GIF89a", "gif"),
+    (b"fLaC", "flac"),
     (b"BM", "bmp"),
 )
 
@@ -725,12 +727,12 @@ def wav_encode(samples: np.ndarray, rate: int = 8000, bits: int = 16,
     return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
 
 
-def wav_feature_grid(payload: bytes) -> np.ndarray:
-    """WAV -> 8x8 float32 grid in [0, 1]: 8 equal time windows x 8
-    rFFT magnitude bands (a coarse deterministic spectrogram) — the
-    audio analog of the image path's 8x8 luma grid, so the same
-    downstream feature plumbing applies to both modalities."""
-    samples, _ = wav_decode(payload)
+def _audio_grid(samples: np.ndarray) -> np.ndarray:
+    """Mono samples -> 8x8 float32 grid in [0, 1]: 8 equal time
+    windows x 8 rFFT magnitude bands (a coarse deterministic
+    spectrogram) — the audio analog of the image path's 8x8 luma grid,
+    so the same downstream feature plumbing applies to both
+    modalities. Shared by the WAV and FLAC branches."""
     n = len(samples)
     grid = np.zeros((8, 8), dtype=np.float64)
     edges = np.linspace(0, n, 9).astype(int)
@@ -745,6 +747,10 @@ def wav_feature_grid(payload: bytes) -> np.ndarray:
     if peak > 0:
         grid /= peak
     return grid.astype(np.float32)
+
+
+def wav_feature_grid(payload: bytes) -> np.ndarray:
+    return _audio_grid(wav_decode(payload)[0])
 
 
 def _resize8(gray: np.ndarray) -> np.ndarray:
@@ -783,11 +789,16 @@ def _decode_image_status(
          NULL feature with status corrupt/unsupported."""
     raw = payload or b""
     fmt = sniff_format(raw)
-    if fmt == "wav":
+    if fmt in ("wav", "flac"):
         # audio rides the same status ladder: a coarse 8x8 spectrogram
-        # grid (wav_feature_grid) is the modality's analog of the luma
-        # grid. Checked before PIL — Pillow has no audio path.
+        # grid (_audio_grid) is the modality's analog of the luma
+        # grid. Checked before PIL — Pillow has no audio path. The
+        # FLAC decode is MD5-verified inside the format itself.
         try:
+            if fmt == "flac":
+                from . import flac as _flac
+
+                return _audio_grid(_flac.decode(raw)[0]), "real", fmt
             return wav_feature_grid(raw), "real", fmt
         except Exception as e:
             if allow_fake:
