@@ -385,3 +385,54 @@ def test_frame_sample_real_gif_decode(spark, monkeypatch):
     rows2 = mm.frame_sample(media, every_ms=150, decode=True).collect()
     assert all(r["feature"] is not None for r in rows2)
     assert {r["decode_status"] for r in rows2} <= {"real", "fake"}
+
+
+def test_decompress_documents_statuses(spark):
+    """Compressed-corpus ingestion: gzip/bz2/xz/zlib payloads
+    decompress for real, plain text passes through, zstd is
+    unsupported-as-data, bombs hit the byte ceiling as 'oversize'
+    without materializing, torn streams and non-utf8 are corrupt."""
+    import bz2 as _bz2
+    import gzip as _gzip
+    import lzma as _lzma
+    import zlib as _zlib
+
+    from amp.text import decompress_documents
+
+    body = "the quick corpus document " * 40
+    bomb = b"\x00" * (4 << 20)  # 4 MiB of zeros compresses tiny
+    rows = [
+        (1, _gzip.compress(body.encode())),
+        (2, _bz2.compress(body.encode())),
+        (3, _lzma.compress(body.encode())),
+        (4, _zlib.compress(body.encode())),
+        (5, body.encode()),                          # plain passthrough
+        (6, b"\x28\xb5\x2f\xfd" + b"\x00" * 20),     # zstd: unsupported
+        (7, _gzip.compress(body.encode())[:-6]),     # torn gzip
+        (8, _gzip.compress(bomb)),                   # bomb vs ceiling
+        (9, _gzip.compress(b"\xff\xfe garbage \xff")),  # non-utf8
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r["doc_id"]: r for r in decompress_documents(
+        docs, max_text_bytes=1 << 20).collect()}
+    for did, codec in ((1, "gzip"), (2, "bz2"), (3, "xz"), (4, "zlib"),
+                       (5, "none")):
+        r = out[did]
+        assert (r["decode_status"], r["codec"]) == ("real", codec), did
+        assert r["text"] == body
+        assert r["n_text_bytes"] == len(body.encode())
+    assert out[6]["decode_status"] == "unsupported"
+    assert out[6]["codec"] == "zstd" and out[6]["text"] is None
+    assert out[7]["decode_status"] == "corrupt"
+    assert out[8]["decode_status"] == "oversize"
+    assert out[8]["text"] is None
+    assert out[9]["decode_status"] == "corrupt"
+
+    # decompressed rows feed the text operators directly
+    from amp import text as amp_text
+
+    real = decompress_documents(docs, max_text_bytes=1 << 20).where(
+        "decode_status = 'real'")
+    counts = {r["doc_id"]: r["word_tokens"]
+              for r in amp_text.token_counts(real).collect()}
+    assert counts[1] == counts[5] == len(body.split())
