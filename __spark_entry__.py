@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from amp import ann, dedup, features, text
-from amp.text import BPE_ISH_RE, LANG_MARKERS, TOKEN_SPLIT_RE
+from amp.text import BPE_ISH_RE, LANG_MARKERS, PII_PATTERNS, TOKEN_SPLIT_RE
 
 # ---------------------------------------------------------------------------
 # shared SQL fragments (DuckDB)
@@ -301,6 +301,66 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _docs(spark, sf_dir)
     )
 
+    # ---- text: Gopher-style repetition metrics ----
+    # prep: the corpus is single-line word salad, so a mirrored literal
+    # replace turns a frequent token into newlines — every output column
+    # (lines AND grams) carries signal at the driver's scale
+    def q_text_repetition(spark, sf_dir):
+        d = _docs(spark, sf_dir).withColumn(
+            "text", F.replace(F.col("text"), F.lit(" table "), F.lit("\n"))
+        )
+        return text.repetition_metrics(d)
+
+    q["text_repetition"] = q_text_repetition
+
+    # ---- text: PII scan + redaction ----
+    # prep: plant deterministic PII (email/IPv4/phone derived from
+    # doc_id) into two of every three documents, mirrored in the oracle,
+    # so counts and redaction are exercised on non-zero rows AND
+    # verified zero on clean rows
+    def q_text_pii(spark, sf_dir):
+        d = _docs(spark, sf_dir)
+        aug = F.when(
+            F.col("doc_id") % 3 != 2,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com from 10."),
+                (F.col("doc_id") % 200).cast("string"),
+                F.lit(".0."),
+                (F.col("doc_id") % 250).cast("string"),
+                F.lit(" call +1 555 "),
+                (F.lit(1000) + F.col("doc_id") % 9000).cast("string"),
+            ),
+        ).otherwise(F.col("text"))
+        return text.pii_scan(d.withColumn("text", aug))
+
+    q["text_pii"] = q_text_pii
+
+    # ---- text: compressed-corpus ingestion round-trip ----
+    # compress every document with a doc_id-selected codec, then run the
+    # ingestion operator; the oracle states the expected invariant
+    # (codec sniffed back, status real, text bit-identical), so the
+    # value hash proves the decompress path end-to-end
+    def q_text_decompress(spark, sf_dir):
+        d = _docs(spark, sf_dir).select("doc_id", "text")
+        codec = (
+            F.when(F.col("doc_id") % 4 == 0, "gzip")
+            .when(F.col("doc_id") % 4 == 1, "bz2")
+            .when(F.col("doc_id") % 4 == 2, "xz")
+            .otherwise("zlib")
+        )
+        comp = text.compress_documents(
+            d.withColumn("codec", codec), codec_col="codec"
+        )
+        out = text.decompress_documents(comp)
+        return out.select(
+            "doc_id", "text", "codec", "decode_status", "n_text_bytes"
+        )
+
+    q["text_decompress_roundtrip"] = q_text_decompress
+
     # ---- core relational: groupBy-agg (TPC-H Q1 shape) ----
     def q_agg(spark, sf_dir):
         li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
@@ -470,6 +530,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["curate_corpus"] = q_curate
+
+    # ---- curation: full verdict with repetition + PII gates ----
+    def q_curate_full(spark, sf_dir):
+        return amp_curate.curate(
+            _docs(spark, sf_dir),
+            min_quality=0.3,
+            keep_langs=("en",),
+            jaccard_threshold=0.8,
+            bands=4,
+            max_top_2gram_frac=0.06,
+            max_pii_total=0,
+        )
+
+    q["curate_corpus_full"] = q_curate_full
 
     # ---- dedup: exact-substring duplicates (contamination case) ----
     # identical >=16-token spans, content-defined window sampling
@@ -834,6 +908,85 @@ SELECT d.doc_id,
 FROM documents d
 """
 
+    # repetition metrics — same literal-replace prep, same 2-/5-gram
+    # construction (DuckDB scalar range() + 1-based list indexing), and
+    # the top-2-gram count expressed as "occurrences of the mode value"
+    # (tie-safe: every argmax shares the same count)
+    o["text_repetition"] = """
+WITH prep AS (
+  SELECT doc_id, replace(text, ' table ', chr(10)) AS text FROM documents
+),
+t AS (
+  SELECT doc_id,
+         list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)), x -> x <> '') AS lines,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+  FROM prep
+),
+g AS (
+  SELECT doc_id, lines,
+         CASE WHEN len(toks) >= 2
+              THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+              ELSE []::VARCHAR[] END AS g2,
+         CASE WHEN len(toks) >= 5
+              THEN list_transform(range(1, len(toks) - 3), i ->
+                   toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4])
+              ELSE []::VARCHAR[] END AS g5
+  FROM t
+)
+SELECT doc_id,
+       len(lines) AS n_lines,
+       round(CASE WHEN len(lines) > 0
+                  THEN (len(lines) - len(list_distinct(lines)))::DOUBLE / len(lines)
+                  ELSE 0.0 END + 1e-9, 6) AS dup_line_frac,
+       round(CASE WHEN len(g2) > 0
+                  THEN len(list_filter(g2, x -> x = list_aggregate(g2, 'mode')))::DOUBLE / len(g2)
+                  ELSE 0.0 END + 1e-9, 6) AS top_2gram_frac,
+       round(CASE WHEN len(g5) > 0
+                  THEN (len(g5) - len(list_distinct(g5)))::DOUBLE / len(g5)
+                  ELSE 0.0 END + 1e-9, 6) AS dup_5gram_frac
+FROM g
+"""
+
+    email_re = PII_PATTERNS["email"]
+    ipv4_re = PII_PATTERNS["ipv4"]
+    phone_re = PII_PATTERNS["phone"]
+    o["text_pii"] = f"""
+WITH aug AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 <> 2 THEN
+           text || ' contact user' || doc_id || '@example.com from 10.'
+                || (doc_id % 200) || '.0.' || (doc_id % 250)
+                || ' call +1 555 ' || (1000 + doc_id % 9000)
+         ELSE text END AS text
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(text, '{email_re}')) AS n_emails,
+       len(regexp_extract_all(text, '{ipv4_re}')) AS n_ipv4s,
+       len(regexp_extract_all(text, '{phone_re}')) AS n_phones,
+       len(regexp_extract_all(text, '{email_re}'))
+         + len(regexp_extract_all(text, '{ipv4_re}'))
+         + len(regexp_extract_all(text, '{phone_re}')) AS pii_total,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(text, '{email_re}', '<EMAIL>', 'g'),
+           '{ipv4_re}', '<IP>', 'g'),
+         '{phone_re}', '<PHONE>', 'g') AS redacted
+FROM aug
+"""
+
+    # the round-trip invariant: sniffed codec matches the doc_id-selected
+    # one, status is real, text is bit-identical, byte count is the
+    # utf-8 length
+    o["text_decompress_roundtrip"] = """
+SELECT doc_id, text,
+       CASE doc_id % 4 WHEN 0 THEN 'gzip' WHEN 1 THEN 'bz2'
+                       WHEN 2 THEN 'xz' ELSE 'zlib' END AS codec,
+       'real' AS decode_status,
+       strlen(text) AS n_text_bytes
+FROM documents
+"""
+
     o["agg_lineitem"] = """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 4) AS sum_qty,
@@ -1089,6 +1242,46 @@ JOIN qual q ON q.doc_id = d.doc_id
 JOIN lid l ON l.doc_id = d.doc_id
 LEFT JOIN drops dr ON dr.doc_id = d.doc_id
 """
+
+    # full curation verdict: same CTE pipeline + the repetition and PII
+    # gates (columns AND keep terms), mirroring curate(max_top_2gram_frac=
+    # 0.06, max_pii_total=0)
+    _cur_base, _cur_sep, _ = o["curate_corpus"].partition("\nSELECT d.doc_id")
+    assert _cur_sep, "curate_corpus oracle shape changed"
+    o["curate_corpus_full"] = (
+        _cur_base
+        + f""",
+rep AS (
+  SELECT doc_id,
+         round(CASE WHEN len(g2) > 0
+                    THEN len(list_filter(g2, x -> x = list_aggregate(g2, 'mode')))::DOUBLE / len(g2)
+                    ELSE 0.0 END + 1e-9, 6) AS top_2gram_frac
+  FROM (SELECT doc_id,
+               CASE WHEN len(toks) >= 2
+                    THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+                    ELSE []::VARCHAR[] END AS g2
+        FROM tl) gsub
+),
+pii AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '{email_re}'))
+           + len(regexp_extract_all(text, '{ipv4_re}'))
+           + len(regexp_extract_all(text, '{phone_re}')) AS pii_total
+  FROM tl
+)
+SELECT d.doc_id, q.quality, l.pred_lang, rp.top_2gram_frac, pi.pii_total,
+       (dr.doc_id IS NOT NULL) AS is_near_dup,
+       (q.quality >= 0.3 AND l.pred_lang IN ('en')
+        AND rp.top_2gram_frac <= 0.06 AND pi.pii_total <= 0
+        AND dr.doc_id IS NULL) AS keep
+FROM documents d
+JOIN qual q ON q.doc_id = d.doc_id
+JOIN lid l ON l.doc_id = d.doc_id
+JOIN rep rp ON rp.doc_id = d.doc_id
+JOIN pii pi ON pi.doc_id = d.doc_id
+LEFT JOIN drops dr ON dr.doc_id = d.doc_id
+"""
+    )
 
     # dedup_substring: every 16-token window md5-hashed (stride 1),
     # kept iff the hash starts with '0' (content-defined 1/16 sampling —

@@ -82,6 +82,8 @@ def curate(
     keep_langs: tuple[str, ...] = ("en",),
     jaccard_threshold: float = 0.8,
     bands: int = 4,
+    max_top_2gram_frac: float | None = None,
+    max_pii_total: int | None = None,
 ) -> DataFrame:
     """Per-document curation verdict:
       quality      text.quality_score's [0,1] heuristic
@@ -93,8 +95,16 @@ def curate(
                    a-b-c both b and c drop, a survives.
       keep         quality >= min_quality AND pred_lang in keep_langs
                    AND NOT is_near_dup
+    Optional gates (columns + keep terms appear only when set, so the
+    default output shape is unchanged):
+      max_top_2gram_frac  adds ``top_2gram_frac`` (Gopher repetition
+                          rule, text.repetition_metrics) and requires
+                          it <= the gate
+      max_pii_total       adds ``pii_total`` (text.pii_scan) and
+                          requires it <= the gate
     Returns one row per input document (never silently drops — the
-    caller filters on ``keep``)."""
+    caller filters on ``keep``). All added operators are single-scan
+    column math joined on doc_id — no new all-pairs work."""
     q = text.quality_score(docs).select("doc_id", "quality")
     l = text.lang_id(docs).select("doc_id", "pred_lang")
     cand = dedup.minhash_lsh_pairs(docs, bands=bands)
@@ -105,17 +115,21 @@ def curate(
         .distinct()
         .withColumn("_dup", F.lit(True))
     )
+    out = docs.select("doc_id").join(q, "doc_id").join(l, "doc_id")
+    keep = (F.col("quality") >= min_quality) & F.col("pred_lang").isin(
+        *keep_langs
+    )
+    if max_top_2gram_frac is not None:
+        rep = text.repetition_metrics(docs).select("doc_id", "top_2gram_frac")
+        out = out.join(rep, "doc_id")
+        keep = keep & (F.col("top_2gram_frac") <= max_top_2gram_frac)
+    if max_pii_total is not None:
+        pii = text.pii_scan(docs).select("doc_id", "pii_total")
+        out = out.join(pii, "doc_id")
+        keep = keep & (F.col("pii_total") <= max_pii_total)
     return (
-        docs.select("doc_id")
-        .join(q, "doc_id")
-        .join(l, "doc_id")
-        .join(drops, "doc_id", "left")
+        out.join(drops, "doc_id", "left")
         .withColumn("is_near_dup", F.coalesce(F.col("_dup"), F.lit(False)))
-        .withColumn(
-            "keep",
-            (F.col("quality") >= min_quality)
-            & F.col("pred_lang").isin(*keep_langs)
-            & ~F.col("is_near_dup"),
-        )
+        .withColumn("keep", keep & ~F.col("is_near_dup"))
         .drop("_dup")
     )

@@ -138,6 +138,137 @@ def fingerprints(docs: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# repetition quality signals (Gopher-rule shapes; Rae et al. 2021, public)
+# ---------------------------------------------------------------------------
+
+
+def _word_grams(toks_ref: str, k: int):
+    """Word k-gram array from a materialized token array — built-in
+    transform over an index sequence, no explode, no shuffle."""
+    n = F.size(toks_ref)
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.get(F.col(toks_ref), i + j) for j in range(k)]
+    )
+    return F.when(
+        n >= k, F.transform(F.sequence(F.lit(0), n - k), gram)
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _max_run(sorted_arr):
+    """Length of the longest run of equal adjacent values in a SORTED
+    array == the count of the most frequent value. One aggregate pass,
+    column-side (whole-stage codegen), no Python."""
+    new_run = lambda acc, x: (  # noqa: E731
+        F.when(x == acc["prev"], acc["run"] + F.lit(1)).otherwise(F.lit(1))
+    )
+    return F.aggregate(
+        sorted_arr,
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            new_run(acc, x).alias("run"),
+            F.greatest(acc["best"], new_run(acc, x)).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+
+
+def repetition_metrics(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Repetition-based quality signals in the shape of the public
+    Gopher rules (duplicate-line fraction, top-n-gram fraction,
+    duplicate-n-gram fraction):
+
+      n_lines        — non-empty trimmed lines
+      dup_line_frac  — 1 - distinct_lines/lines (0 for <=1 line)
+      top_2gram_frac — occurrences of the most frequent word 2-gram
+                       over total 2-grams (occurrence-fraction variant
+                       of Gopher's character-fraction rule)
+      dup_5gram_frac — 1 - distinct_5grams/total_5grams
+
+    Single scan, pure built-in column math (the top-2-gram count is a
+    sort + longest-equal-run aggregate over the gram array — no explode,
+    no shuffle), embarrassingly parallel at any scale."""
+    d = docs.withColumn("_toks", tokens_col(text_col)).withColumn(
+        "_lines",
+        F.filter(
+            # NB: an explicit 1-arg lambda — passing F.trim itself would
+            # bind transform's (element, index) pair to the deprecated
+            # two-parameter TRIM and strip index digits instead of spaces
+            F.transform(F.split(F.col(text_col), "\n"), lambda x: F.trim(x)),
+            lambda x: x != "",
+        ),
+    )
+    n_lines = F.size("_lines")
+    g2 = _word_grams("_toks", 2)
+    g5 = _word_grams("_toks", 5)
+    d = d.withColumn("_g2", g2).withColumn("_g5", g5)
+    eps = F.lit(1e-9)
+    frac = lambda num, den: F.round(  # noqa: E731
+        F.when(den > 0, num.cast("double") / den.cast("double")).otherwise(0.0)
+        + eps,
+        6,
+    )
+    return d.select(
+        "doc_id",
+        n_lines.alias("n_lines"),
+        frac(n_lines - F.size(F.array_distinct("_lines")), n_lines).alias(
+            "dup_line_frac"
+        ),
+        frac(_max_run(F.array_sort("_g2")), F.size("_g2")).alias(
+            "top_2gram_frac"
+        ),
+        frac(
+            F.size("_g5") - F.size(F.array_distinct("_g5")), F.size("_g5")
+        ).alias("dup_5gram_frac"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII scan + redaction (regex families; RE2-compatible, no lookarounds,
+# so the Spark plan and the DuckDB oracle share identical semantics)
+# ---------------------------------------------------------------------------
+
+PII_PATTERNS = {
+    # order matters: redaction applies in this order
+    "email": "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "ipv4": "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b",
+    # international-format phone: requires the leading '+'
+    "phone": "\\+\\d[\\d\\- ]{7,}\\d",
+}
+PII_REPLACEMENTS = {"email": "<EMAIL>", "ipv4": "<IP>", "phone": "<PHONE>"}
+
+
+def pii_scan(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document PII hit counts + redacted text (emails, IPv4,
+    international-format phones). Pure regexp_count/regexp_replace
+    column math — one scan, JVM-side, no shuffle. The patterns avoid
+    lookarounds so RE2 (DuckDB) and Java (Spark) agree byte-for-byte;
+    a production pass would extend the family list, not the shape."""
+    t = F.col(text_col)
+    counts = {
+        name: F.regexp_count(t, F.lit(pat)).alias(f"n_{name}s")
+        for name, pat in PII_PATTERNS.items()
+    }
+    red = t
+    for name, pat in PII_PATTERNS.items():
+        red = F.regexp_replace(red, pat, PII_REPLACEMENTS[name])
+    total = None
+    for name in PII_PATTERNS:
+        c = F.regexp_count(t, F.lit(PII_PATTERNS[name]))
+        total = c if total is None else total + c
+    return docs.select(
+        "doc_id",
+        counts["email"],
+        counts["ipv4"],
+        counts["phone"],
+        total.alias("pii_total"),
+        red.alias("redacted"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # compressed-document ingestion (web corpora ship gzip/bz2/xz payloads)
 # ---------------------------------------------------------------------------
 
@@ -164,29 +295,49 @@ def _sniff_codec(raw: bytes) -> str:
 def _bounded_decompress(raw: bytes, codec: str, max_bytes: int) -> bytes:
     """Decompress with an output-size ceiling — a 100-TB pass must not
     let one decompression bomb take down an executor. All three stdlib
-    decompressors support incremental max_length draining."""
+    decompressors support incremental max_length draining.
+
+    Concatenated members/streams (the shape real web corpora ship:
+    multi-member gzip WET files, pbzip2 multi-stream output) are
+    decoded in full by looping members under the shared ceiling —
+    returning just the first member would be silent data loss."""
     import bz2
     import lzma
     import zlib as _zlib
 
-    if codec == "gzip":
-        d = _zlib.decompressobj(wbits=31)
-    elif codec == "zlib":
-        d = _zlib.decompressobj()
-    elif codec == "bz2":
-        d = bz2.BZ2Decompressor()
-    else:
-        d = lzma.LZMADecompressor()
-    out = d.decompress(raw, max_bytes + 1)
-    if len(out) > max_bytes or (
-        not d.eof and getattr(d, "unconsumed_tail", b"")
-    ) or (not d.eof and codec in ("bz2", "xz")):
-        # more output was available past the cap, or input remains
-        raise OverflowError("decompressed output exceeds the ceiling")
-    if not d.eof:
-        # zlib-family: input fully fed but the stream never finished
-        raise ValueError("truncated stream")
-    return out
+    def new_d():
+        if codec == "gzip":
+            return _zlib.decompressobj(wbits=31)
+        if codec == "zlib":
+            return _zlib.decompressobj()
+        if codec == "bz2":
+            return bz2.BZ2Decompressor()
+        return lzma.LZMADecompressor()
+
+    chunks: list[bytes] = []
+    total = 0
+    data = raw
+    while True:
+        d = new_d()
+        out = d.decompress(data, max_bytes - total + 1)
+        total += len(out)
+        chunks.append(out)
+        if total > max_bytes:
+            raise OverflowError("decompressed output exceeds the ceiling")
+        if not d.eof:
+            if getattr(d, "unconsumed_tail", b""):
+                # zlib-family: output ceiling hit with input still queued
+                raise OverflowError("decompressed output exceeds the ceiling")
+            if codec in ("bz2", "xz") and not d.needs_input:
+                # bz2/lzma: more output was available past the cap
+                raise OverflowError("decompressed output exceeds the ceiling")
+            # input fully fed but the stream never finished
+            raise ValueError("truncated stream")
+        data = d.unused_data
+        if not data.strip(b"\x00"):
+            # trailing NUL padding (block-aligned archives) is tolerated;
+            # anything else must parse as the next member
+            return b"".join(chunks)
 
 
 def decompress_documents(
@@ -259,3 +410,71 @@ def decompress_documents(
     return docs.select(id_col, payload_col).mapInPandas(
         fn, DECOMPRESS_SCHEMA
     )
+
+
+COMPRESS_SCHEMA = (
+    "doc_id long, payload binary, codec string, "
+    "n_raw_bytes long, n_payload_bytes long"
+)
+
+
+def compress_documents(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    codec: str = "gzip",
+    codec_col: str | None = None,
+    level: int = 6,
+) -> DataFrame:
+    """The sink-side inverse of :func:`decompress_documents`: text rows
+    -> deterministic compressed payloads (gzip written with mtime=0 so
+    identical text always yields identical bytes — retries and
+    re-partitioned re-runs produce byte-identical files). ``codec_col``
+    selects the codec per row ('gzip'/'bz2'/'xz'/'zlib'/'none');
+    otherwise ``codec`` applies to every row. One mapInPandas pass, no
+    shuffle."""
+    import bz2
+    import gzip
+    import lzma
+    import zlib
+
+    import pandas as pd
+
+    def compress_one(data: bytes, c: str) -> bytes:
+        if c == "gzip":
+            return gzip.compress(data, compresslevel=level, mtime=0)
+        if c == "bz2":
+            return bz2.compress(data, compresslevel=max(1, level))
+        if c == "xz":
+            return lzma.compress(data, preset=level)
+        if c == "zlib":
+            return zlib.compress(data, level)
+        if c == "none":
+            return data
+        raise ValueError(f"unknown codec {c!r}")
+
+    cols = [id_col, text_col] + ([codec_col] if codec_col else [])
+
+    def fn(batches):
+        for pdf in batches:
+            codecs = (
+                pdf[codec_col].tolist() if codec_col else [codec] * len(pdf)
+            )
+            payloads, nraw, npay = [], [], []
+            for t, c in zip(pdf[text_col], codecs):
+                data = ("" if t is None else str(t)).encode("utf-8")
+                out = compress_one(data, c)
+                payloads.append(out)
+                nraw.append(len(data))
+                npay.append(len(out))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64").tolist(),
+                    "payload": payloads,
+                    "codec": codecs,
+                    "n_raw_bytes": nraw,
+                    "n_payload_bytes": npay,
+                }
+            )
+
+    return docs.select(*cols).mapInPandas(fn, COMPRESS_SCHEMA)
