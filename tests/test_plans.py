@@ -78,3 +78,21 @@ def test_scans_prune_columns(plans):
     # read the remaining document columns
     squashed = plans["normalize_project"].replace(" ", "").replace("\n", "")
     assert "ReadSchema:struct<doc_id:bigint,text:string>" in squashed
+
+
+def test_single_scan_text_ops_have_no_shuffle(plans):
+    # these are pure per-row column pipelines (or mapInPandas chains for
+    # the compression round trip) — at 100 TB an Exchange here would be
+    # a scale bug, not a tuning choice
+    for name in (
+        "normalize_project",
+        "text_token_counts",
+        "text_quality",
+        "text_lang_id",
+        "text_fingerprints",
+        "text_repetition",
+        "text_pii",
+        "text_decompress_roundtrip",
+    ):
+        assert "Exchange" not in plans[name], (
+            name, plans[name][:2000])
