@@ -545,6 +545,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["curate_corpus_full"] = q_curate_full
 
+    # ---- curation: concat-and-chunk sequence-packing manifest ----
+    # GPT-style pretraining layout: per-shard token cumsum -> pack
+    # indexes + offsets; ONE shuffle, parallelism = n_shards
+    q["pack_documents"] = lambda spark, sf_dir: amp_curate.pack_documents(
+        _docs(spark, sf_dir), budget=2048, n_shards=8
+    )
+
     # ---- dedup: exact-substring duplicates (contamination case) ----
     # identical >=16-token spans, content-defined window sampling
     # (alignment-free), md5 keys shared with the DuckDB twin
@@ -1282,6 +1289,31 @@ JOIN pii pi ON pi.doc_id = d.doc_id
 LEFT JOIN drops dr ON dr.doc_id = d.doc_id
 """
     )
+
+    # pack_documents: per-shard (doc_id % 8) token cumsum over the same
+    # tokenization, cut into budget-2048 packs; integer // division ==
+    # Spark floor(col / budget) for non-negative token counts
+    o["pack_documents"] = """
+WITH tl AS (
+  SELECT doc_id, doc_id % 8 AS shard,
+         len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, shard, n_tokens,
+         sum(n_tokens) OVER (
+           PARTITION BY shard ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM tl
+)
+SELECT doc_id, shard, n_tokens,
+       (cum - n_tokens) % 2048 AS start_offset,
+       (cum - n_tokens) // 2048 AS first_pack,
+       CASE WHEN n_tokens > 0 THEN (cum - 1) // 2048
+            ELSE (cum - n_tokens) // 2048 END AS last_pack,
+       shard * 4294967296 + ((cum - n_tokens) // 2048) AS pack_id
+FROM c
+"""
 
     # dedup_substring: every 16-token window md5-hashed (stride 1),
     # kept iff the hash starts with '0' (content-defined 1/16 sampling —

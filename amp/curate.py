@@ -76,6 +76,60 @@ def stratified_topn(
     )
 
 
+def pack_documents(
+    docs: DataFrame,
+    budget: int = 2048,
+    n_shards: int = 8,
+) -> DataFrame:
+    """Concat-and-chunk sequence-packing manifest (the GPT-style
+    pretraining layout: documents are concatenated in a deterministic
+    order and the token stream is cut into fixed-``budget`` packs; a
+    document may straddle pack boundaries). Emits one row per document:
+
+      shard         doc_id % n_shards — the independent packing stream
+      n_tokens      word-token length (text.tokens_col semantics)
+      start_offset  token offset of the doc inside its first pack
+      first_pack /  0-based pack indexes within the shard that the doc
+      last_pack     touches (equal when it fits in one pack)
+      pack_id       globally unique id of the first pack:
+                    shard * 2^32 + first_pack
+
+    Scale shape: ONE shuffle (by shard); the cumulative sum inside a
+    shard is sequential by nature, so parallelism = n_shards — size it
+    to the cluster, not the data. Deterministic under repartitioning,
+    retries, and resume (pure function of doc_id order), so a re-run
+    reproduces byte-identical packs — the property that makes packed
+    training data resumable."""
+    if budget <= 0 or n_shards <= 0:
+        raise ValueError("budget and n_shards must be positive")
+    d = docs.select(
+        "doc_id",
+        (F.col("doc_id") % n_shards).alias("shard"),
+        F.size(text.tokens_col()).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    start = (cum - F.col("n_tokens")).alias("_start")
+    d = d.withColumn("_cum", cum).withColumn("_start", start)
+    first_pack = F.floor(F.col("_start") / budget)
+    last_pack = F.when(
+        F.col("n_tokens") > 0, F.floor((F.col("_cum") - 1) / budget)
+    ).otherwise(first_pack)
+    return d.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        (F.col("_start") % budget).alias("start_offset"),
+        first_pack.alias("first_pack"),
+        last_pack.alias("last_pack"),
+        (F.col("shard") * F.lit(2**32) + first_pack).alias("pack_id"),
+    )
+
+
 def curate(
     docs: DataFrame,
     min_quality: float = 0.3,

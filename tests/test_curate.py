@@ -152,3 +152,53 @@ def test_sample_fraction_one_keeps_every_row(spark, docs):
 
     with _pytest.raises(ValueError):
         curate.sample_fraction(docs, 1.5)
+
+
+def test_pack_documents_manifest_invariants(spark, docs):
+    out = curate.pack_documents(docs, budget=64, n_shards=4)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert len(rows) == docs.count()
+    for r in rows.values():
+        assert r["shard"] == r["doc_id"] % 4
+        assert 0 <= r["start_offset"] < 64
+        assert r["first_pack"] <= r["last_pack"]
+        assert r["pack_id"] == r["shard"] * 2**32 + r["first_pack"]
+    # per-shard reconstruction: concatenating docs in doc_id order must
+    # lay tokens contiguously — each doc starts where the previous ended
+    from collections import defaultdict
+
+    by_shard = defaultdict(list)
+    for r in rows.values():
+        by_shard[r["shard"]].append(r)
+    for shard, rs in by_shard.items():
+        rs.sort(key=lambda r: r["doc_id"])
+        pos = 0
+        for r in rs:
+            assert r["first_pack"] * 64 + r["start_offset"] == pos, (shard, r)
+            pos += r["n_tokens"]
+            if r["n_tokens"] > 0:
+                assert r["last_pack"] == (pos - 1) // 64
+    # deterministic under repartitioning (retry/resume safety)
+    again = {
+        r["doc_id"]: tuple(r)
+        for r in curate.pack_documents(docs.repartition(13), budget=64, n_shards=4).collect()
+    }
+    assert again == {k: tuple(v) for k, v in rows.items()}
+
+
+def test_pack_documents_straddles_boundary(spark):
+    # 4 docs of 40 tokens each in one shard, budget 64: doc 0 fits in
+    # pack 0; doc 4 straddles packs 0->1; doc 8 sits inside pack 1
+    # (tokens 80..119); doc 12 straddles 1->2 (tokens 120..159)
+    docs3 = spark.createDataFrame(
+        [(i, " ".join(f"t{j}" for j in range(40))) for i in (0, 4, 8, 12)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in curate.pack_documents(docs3, budget=64, n_shards=4).collect()}
+    assert (out[0]["first_pack"], out[0]["last_pack"], out[0]["start_offset"]) == (0, 0, 0)
+    assert (out[4]["first_pack"], out[4]["last_pack"], out[4]["start_offset"]) == (0, 1, 40)
+    assert (out[8]["first_pack"], out[8]["last_pack"], out[8]["start_offset"]) == (1, 1, 16)
+    assert (out[12]["first_pack"], out[12]["last_pack"], out[12]["start_offset"]) == (1, 2, 56)
+
+    with pytest.raises(ValueError):
+        curate.pack_documents(docs3, budget=0)

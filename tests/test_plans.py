@@ -96,3 +96,13 @@ def test_single_scan_text_ops_have_no_shuffle(plans):
     ):
         assert "Exchange" not in plans[name], (
             name, plans[name][:2000])
+
+
+def test_pack_documents_single_exchange(plans):
+    # the packing manifest is ONE shuffle (hash by shard) + one window
+    # cumsum — a second Exchange would mean the window re-partitioned
+    import re
+
+    plan = plans["pack_documents"]
+    assert len(re.findall(r"Exchange", plan)) == 1, plan[:2000]
+    assert "hashpartitioning(shard" in plan
