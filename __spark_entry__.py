@@ -552,6 +552,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _docs(spark, sf_dir), budget=2048, n_shards=8
     )
 
+    # ---- curation: deterministic domain-mixture sampling ----
+    # waterfilling to a target source mixture: largest total with no
+    # upsampling, per-source md5-threshold Bernoulli keep
+    q["mixture_sample"] = lambda spark, sf_dir: amp_curate.mixture_sample(
+        _docs(spark, sf_dir), {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+    ).select("doc_id", "lang", "source")
+
     # ---- dedup: exact-substring duplicates (contamination case) ----
     # identical >=16-token spans, content-defined window sampling
     # (alignment-free), md5 keys shared with the DuckDB twin
@@ -1313,6 +1320,34 @@ SELECT doc_id, shard, n_tokens,
             ELSE (cum - n_tokens) // 2048 END AS last_pack,
        shard * 4294967296 + ((cum - n_tokens) // 2048) AS pack_id
 FROM c
+"""
+
+    # mixture_sample: same waterfilling algebra in DOUBLE (bare SQL
+    # decimals are DECIMAL in DuckDB — cast so both engines do IEEE
+    # double arithmetic in the same order), same md5-prefix draw and
+    # the same floor/saturate threshold formatting
+    o["mixture_sample"] = """
+WITH w(source, wt) AS (
+  VALUES ('src0', CAST(0.5 AS DOUBLE)),
+         ('src1', CAST(0.3 AS DOUBLE)),
+         ('src2', CAST(0.2 AS DOUBLE))
+),
+n AS (SELECT source, count(*)::DOUBLE AS n FROM documents GROUP BY source),
+j AS (SELECT n.source, n.n, w.wt FROM n JOIN w USING (source)),
+t AS (SELECT min(n / wt) AS T FROM j),
+th AS (
+  SELECT j.source, least(CAST(1.0 AS DOUBLE), t.T * j.wt / j.n) AS f
+  FROM j, t
+),
+th2 AS (
+  SELECT source, f,
+         printf('%08x', least(CAST(floor(f * 4294967296) AS BIGINT), 4294967295)) AS thresh
+  FROM th
+)
+SELECT d.doc_id, d.lang, d.source
+FROM documents d JOIN th2 ON th2.source = d.source
+WHERE th2.f >= 1.0
+   OR substr(md5('s42:' || CAST(d.doc_id AS VARCHAR)), 1, 8) < th2.thresh
 """
 
     # dedup_substring: every 16-token window md5-hashed (stride 1),

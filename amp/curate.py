@@ -76,6 +76,80 @@ def stratified_topn(
     )
 
 
+def mixture_sample(
+    docs: DataFrame,
+    weights: dict[str, float],
+    strata_col: str = "source",
+    key_col: str = "doc_id",
+    salt: int = 42,
+) -> DataFrame:
+    """Deterministic domain-mixture sampling (the "data mixing" step of
+    a pretraining pipeline): downsample each ``strata_col`` group so the
+    output matches the target ``weights`` mixture, taking the LARGEST
+    total achievable without upsampling any group (waterfilling):
+
+        T   = min_s n_s / w_s          (the binding source saturates)
+        f_s = min(1, T * w_s / n_s)    (per-source keep fraction)
+
+    then keeps each row iff md5-prefix(salt:key) < f_s — the same
+    engine-portable Bernoulli draw as :func:`sample_fraction`, so the
+    result is stable under repartitioning, retries and resume. The
+    result is invariant to scaling all weights by a constant (weights
+    need not sum to 1). Sources absent from ``weights`` (or with no
+    rows) are dropped.
+
+    Scale shape: one map-side-combinable count on a low-cardinality
+    key, driver-free threshold algebra on that tiny table, then a
+    broadcast join + scan-side filter over the corpus — no shuffle of
+    the data itself, any source cardinality."""
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    if any(w <= 0 for w in weights.values()):
+        raise ValueError("weights must be positive")
+    spark = docs.sparkSession
+    wdf = spark.createDataFrame(
+        [(k, float(v)) for k, v in sorted(weights.items())],
+        f"{strata_col} string, _w double",
+    )
+    counts = (
+        docs.groupBy(strata_col)
+        .agg(F.count("*").cast("double").alias("_n"))
+        .join(wdf, strata_col)
+    )
+    # global min as a window over the (tiny) counts table — a separate
+    # .agg() would make Spark recompute the groupBy, i.e. scan the
+    # corpus for counts TWICE
+    tw = Window.partitionBy()
+    # f in [0,1]; threshold hex mirrors fraction_threshold_hex exactly
+    # (floor == int-truncation for non-negative, saturate at ffffffff)
+    f = F.least(F.lit(1.0), F.col("_T") * F.col("_w") / F.col("_n"))
+    th = (
+        counts.withColumn("_T", F.min(F.col("_n") / F.col("_w")).over(tw))
+        .withColumn("_f", f)
+        .withColumn(
+            "_thresh",
+            F.lpad(
+                F.lower(
+                    F.hex(
+                        F.least(
+                            F.floor(F.col("_f") * F.lit(float(16**8))).cast("bigint"),
+                            F.lit(16**8 - 1),
+                        )
+                    )
+                ),
+                8,
+                "0",
+            ),
+        )
+        .select(strata_col, "_f", "_thresh")
+    )
+    return (
+        docs.join(F.broadcast(th), strata_col)
+        .where((F.col("_f") >= 1.0) | (_hash8(key_col, salt) < F.col("_thresh")))
+        .drop("_f", "_thresh")
+    )
+
+
 def pack_documents(
     docs: DataFrame,
     budget: int = 2048,

@@ -202,3 +202,35 @@ def test_pack_documents_straddles_boundary(spark):
 
     with pytest.raises(ValueError):
         curate.pack_documents(docs3, budget=0)
+
+
+def test_mixture_sample_waterfilling(spark, docs):
+    # docs: ~100 en/web, ~50 each of other strata by construction; use
+    # source (web/repo, ~100/101 docs each incl. doc 200)
+    out = curate.mixture_sample(docs, {"web": 0.75, "repo": 0.25})
+    per = {r["source"]: r["n"] for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    n_web = docs.where(F.col("source") == "web").count()
+    n_repo = docs.where(F.col("source") == "repo").count()
+    # web binds (n/w smallest): kept in full; repo downsampled to
+    # ~ T*0.25 = n_web/3 by a Bernoulli draw
+    assert per["web"] == n_web
+    assert per["repo"] < n_repo
+    # invariant to weight scaling
+    scaled = curate.mixture_sample(docs, {"web": 3.0, "repo": 1.0})
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(r["doc_id"] for r in scaled.collect())
+    assert a == b
+    # deterministic under repartitioning
+    c = sorted(
+        r["doc_id"]
+        for r in curate.mixture_sample(docs.repartition(9), {"web": 0.75, "repo": 0.25}).collect()
+    )
+    assert a == c
+    # unknown sources dropped; bad weights rejected
+    only_web = curate.mixture_sample(docs, {"web": 1.0})
+    assert only_web.where(F.col("source") == "repo").count() == 0
+    assert only_web.count() == n_web
+    with pytest.raises(ValueError):
+        curate.mixture_sample(docs, {})
+    with pytest.raises(ValueError):
+        curate.mixture_sample(docs, {"web": 0.0})

@@ -106,3 +106,19 @@ def test_pack_documents_single_exchange(plans):
     plan = plans["pack_documents"]
     assert len(re.findall(r"Exchange", plan)) == 1, plan[:2000]
     assert "hashpartitioning(shard" in plan
+
+
+def test_mixture_sample_corpus_never_shuffled(plans):
+    # the corpus side must reach the filter via a broadcast join; the
+    # only shuffles are the tiny counts agg (map-side combinable) and
+    # the single-partition global-min window over it
+    import re
+
+    plan = plans["mixture_sample"]
+    assert "BroadcastHashJoin" in plan
+    non_bcast = [
+        l for l in plan.splitlines()
+        if "Exchange" in l and "BroadcastExchange" not in l
+    ]
+    assert len(non_bcast) == 2, non_bcast
+    assert any("SinglePartition" in l for l in non_bcast)
