@@ -1,6 +1,8 @@
 """Corpus-curation operators — the selection layer of a training-data
-pipeline: deterministic sampling (reproducible, engine-portable) and a
-composed keep/drop verdict (quality x language x near-dup).
+pipeline: deterministic sampling (reproducible, engine-portable), a
+composed keep/drop verdict (quality x language x near-dup), waterfilled
+domain-mixture sampling, and the concat-and-chunk sequence-packing
+manifest.
 
 Everything here is hash-deterministic and SQL-expressible so the DuckDB
 oracle checks it bit-for-bit: sampling uses md5-prefix thresholds
@@ -173,7 +175,9 @@ def pack_documents(
     to the cluster, not the data. Deterministic under repartitioning,
     retries, and resume (pure function of doc_id order), so a re-run
     reproduces byte-identical packs — the property that makes packed
-    training data resumable."""
+    training data resumable. Assumes non-negative ``doc_id`` (both
+    engines keep the dividend's sign on ``%``, so a negative id would
+    yield a negative shard and a colliding pack_id)."""
     if budget <= 0 or n_shards <= 0:
         raise ValueError("budget and n_shards must be positive")
     d = docs.select(

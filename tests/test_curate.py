@@ -234,3 +234,15 @@ def test_mixture_sample_waterfilling(spark, docs):
         curate.mixture_sample(docs, {})
     with pytest.raises(ValueError):
         curate.mixture_sample(docs, {"web": 0.0})
+
+
+def test_mixture_sample_absent_source_excluded_from_waterfill(spark, docs):
+    # a weighted source with zero rows must not bind T (it is simply
+    # absent from the counts join): web/repo behave exactly as if the
+    # phantom weight were never given, modulo the weight rescaling
+    # invariance already proven above
+    out = curate.mixture_sample(docs, {"web": 0.75, "repo": 0.25, "phantom": 0.5})
+    base = curate.mixture_sample(docs, {"web": 0.75, "repo": 0.25})
+    assert sorted(r["doc_id"] for r in out.collect()) == sorted(
+        r["doc_id"] for r in base.collect()
+    )
