@@ -73,26 +73,46 @@ def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _block_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1 rewrite: OR-of-equalities blocking as a union of equi-join
-    passes + distinct (never a nested-loop join)."""
+    passes (never a nested-loop join).
+
+    Round-6 shape: the passes are made DISJOINT instead of distinct'd.
+    Each pass is internally duplicate-free (a pair has one lang/szb/
+    source, so each equi-join emits it at most once), and a pass-b pair
+    is also a pass-a pair exactly when the two size buckets match — so
+    filtering pass b to bucket-mismatched pairs makes the UNION ALL
+    equal the old UNION DISTINCT as a set, and the quadratic-sized
+    Exchange + HashAggregate the distinct needed (the whole cost of
+    this query at the driver's sf=1.0: ~150M shuffled rows, 87 s)
+    disappears — the plan is two broadcast joins and no Exchange at
+    all (guide §2.4, remove shuffles outright). The null guard keeps
+    the original semantics for null buckets: equality-join pass a drops
+    them, so they must stay in pass b unconditionally."""
     d = _docs(spark, sf_dir)
     l = d.select(
         F.col("doc_id").alias("left_id"),
         "lang",
         "source",
-        F.floor(F.col("n_chars") / 100).alias("szb"),
+        F.floor(F.col("n_chars") / 100).alias("szb_l"),
     )
     r = d.select(
         F.col("doc_id").alias("right_id"),
         "lang",
         "source",
-        F.floor(F.col("n_chars") / 100).alias("szb"),
+        F.floor(F.col("n_chars") / 100).alias("szb_r"),
     )
-    pass_a = l.join(r, ["lang", "szb"]).where(F.col("left_id") < F.col("right_id"))
-    pass_b = l.join(r, ["lang", "source"]).where(F.col("left_id") < F.col("right_id"))
-    return (
-        pass_a.select("left_id", "right_id")
-        .unionByName(pass_b.select("left_id", "right_id"))
-        .distinct()
+    pass_a = (
+        l.withColumnRenamed("szb_l", "szb")
+        .join(r.withColumnRenamed("szb_r", "szb"), ["lang", "szb"])
+        .where(F.col("left_id") < F.col("right_id"))
+    )
+    pass_b_only = (
+        l.join(r, ["lang", "source"])
+        .where(F.col("left_id") < F.col("right_id"))
+        # NOT in pass a == buckets differ or either bucket is null
+        .where(F.coalesce(F.col("szb_l") != F.col("szb_r"), F.lit(True)))
+    )
+    return pass_a.select("left_id", "right_id").unionByName(
+        pass_b_only.select("left_id", "right_id")
     )
 
 
@@ -158,15 +178,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
 
     # ---- A1/J4/F11: grouped tfidf dot product over candidate pairs ----
-    q["pair_tfidf_dot"] = lambda spark, sf_dir: features.doc_pair_dot(
-        _docs(spark, sf_dir), _src_pairs(spark, sf_dir)
+    # round 6: the (lang, source) pair set is exactly the within-group
+    # candidate space, so the group/tile kernel computes the identical
+    # result with payloads moved once per tile instead of once per pair
+    # (features.doc_pair_dot_grouped docstring; oracle unchanged)
+    q["pair_tfidf_dot"] = lambda spark, sf_dir: features.doc_pair_dot_grouped(
+        _docs(spark, sf_dir), ["lang", "source"]
     )
 
     # ---- W1: rank window over pair scores ----
     def q_rank(spark, sf_dir):
         from pyspark.sql import Window
 
-        dot = features.doc_pair_dot(_docs(spark, sf_dir), _src_pairs(spark, sf_dir))
+        dot = features.doc_pair_dot_grouped(_docs(spark, sf_dir), ["lang", "source"])
         w = Window.partitionBy("left_id").orderBy(
             F.desc("tfidf_dot"), F.asc("right_id")
         )
@@ -190,7 +214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # ---- P4 + O1: threshold filter + ordered limit ----
     def q_threshold(spark, sf_dir):
-        dot = features.doc_pair_dot(_docs(spark, sf_dir), _src_pairs(spark, sf_dir))
+        dot = features.doc_pair_dot_grouped(_docs(spark, sf_dir), ["lang", "source"])
         return dot.where(F.col("tfidf_dot") >= 0.002).select(
             "left_id", "right_id", "tfidf_dot"
         )
@@ -471,7 +495,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from pyspark.sql import Window
 
         d = _docs(spark, sf_dir)
-        post = features.doc_tfidf(d)
         q = d.where(F.col("doc_id") >= 450).select(
             F.col("doc_id").alias("left_id"), "lang", "source"
         )
@@ -479,14 +502,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("doc_id").alias("right_id"), "lang", "source"
         )
         pairs = q.join(idx, ["lang", "source"]).select("left_id", "right_id")
-        pl = post.select(F.col("doc_id").alias("left_id"), "token", F.col("tfidf").alias("lt"))
-        pr = post.select(F.col("doc_id").alias("right_id"), "token", F.col("tfidf").alias("rt"))
-        dots = (
-            pairs.join(pl, "left_id")
-            .join(pr, ["right_id", "token"])
-            .groupBy("left_id", "right_id")
-            .agg(F.round(F.sum(F.col("lt") * F.col("rt")), 6).alias("tfidf_dot"))
-        )
+        # the inline postings-join dot was semantically identical to
+        # features.doc_pair_dot — share the round-6 vectorized kernel
+        dots = features.doc_pair_dot(d, pairs)
         w = Window.partitionBy("left_id").orderBy(F.desc("tfidf_dot"), F.asc("right_id"))
         return (
             dots.withColumn("rn", F.row_number().over(w))
@@ -547,9 +565,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # ---- curation: concat-and-chunk sequence-packing manifest ----
     # GPT-style pretraining layout: per-shard token cumsum -> pack
-    # indexes + offsets; ONE shuffle, parallelism = n_shards
+    # indexes + offsets; ONE shuffle, parallelism = n_shards.
+    # The four window-sum-derived columns are emitted as DOUBLE: the
+    # oracle's sum(n_tokens) OVER (...) is HUGEINT in DuckDB, and a
+    # pandas/arrow fetch of HUGEINT coerces to float64 — so the driver
+    # canonicalizes the oracle side as 5.000000 while a bigint Spark
+    # column canonicalizes as 5 (the round-5 hash_match=false with
+    # rows/schema green). The values are exact small integers either
+    # way; the cast aligns the declared query with the frozen oracle's
+    # fetch typing. Verified against a pandas-leg DuckDB fetch in
+    # scripts/check_oracles.py.
     q["pack_documents"] = lambda spark, sf_dir: amp_curate.pack_documents(
         _docs(spark, sf_dir), budget=2048, n_shards=8
+    ).select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        F.col("start_offset").cast("double").alias("start_offset"),
+        F.col("first_pack").cast("double").alias("first_pack"),
+        F.col("last_pack").cast("double").alias("last_pack"),
+        F.col("pack_id").cast("double").alias("pack_id"),
     )
 
     # ---- curation: deterministic domain-mixture sampling ----
@@ -603,7 +638,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from amp.cluster import connected_components
 
         d = _docs(spark, sf_dir)
-        dot = features.doc_pair_dot(d, _src_pairs(spark, sf_dir))
+        dot = features.doc_pair_dot_grouped(d, ["lang", "source"])
         edges = dot.where(F.col("tfidf_dot") >= 0.002).select("left_id", "right_id")
         assign = connected_components(
             edges,

@@ -294,22 +294,374 @@ def doc_tfidf(docs: DataFrame) -> DataFrame:
     )
 
 
-def doc_pair_dot(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+def doc_pair_dot(
+    docs: DataFrame,
+    pairs: DataFrame,
+    broadcast_vecs_max_docs: int = 2_000_000,
+) -> DataFrame:
     """Grouped SUM of tfidf products over shared tokens of each pair
-    (match.sql:65-75 shape, over the documents table)."""
+    (match.sql:65-75 shape, over the documents table).
+
+    Semantics (unchanged from the postings-join formulation, and what
+    the DuckDB oracle states): a pair appears iff BOTH docs have
+    postings AND they share >= 1 token; tfidf_dot = round(sum of
+    products, 6). tfidf values are computed by the same doc_tfidf plan
+    as before — bit-identical doubles; only the intersection+sum moved.
+
+    Scale shape (round-6 rewrite; guide §8 "attach the plan, move bytes
+    once" + §4.2 batch-native kernels): the old shape joined the PAIR
+    table through the postings twice — with quadratic candidate growth
+    (pairs ~ sf^2) the intermediate is |pairs| x tokens-per-doc rows
+    through two shuffles and a grouped aggregation (measured 244 s at
+    the driver's sf=1.0, 77x the sf=0.1 wall for 100x the pairs). Now:
+    postings fold ONCE into a doc-sized sparse-vector table (one
+    doc_id-keyed aggregation of ~n_docs rows), pairs attach both
+    vectors by equi-join — broadcast while the doc table is small
+    (size-gated like the scorer's broadcast gate; the pair stream then
+    never shuffles at all), shuffled hash join on doc_id otherwise —
+    and one Arrow kernel resolves every intersection batch-natively:
+    per-batch dictionary-encode of the token child array (exact string
+    matching, no hash-collision exposure), composite (pair, code) int64
+    keys, one searchsorted per batch, bincount group-sums. No Python
+    statement executes per pair (same discipline as
+    scoring.tfblob_dots_batch)."""
+    import numpy as np
+    import pyarrow as pa
+
     post = doc_tfidf(docs)
-    pl = post.select(
-        F.col("doc_id").alias("left_id"), "token", F.col("tfidf").alias("lt")
+    vecs = post.groupBy("doc_id").agg(
+        F.collect_list(F.struct("token", "tfidf")).alias("_tv")
     )
-    pr = post.select(
-        F.col("doc_id").alias("right_id"), "token", F.col("tfidf").alias("rt")
+    n_docs = docs.count()
+    if n_docs <= broadcast_vecs_max_docs:
+        vecs = F.broadcast(vecs)
+    lv = vecs.select(F.col("doc_id").alias("left_id"), F.col("_tv").alias("_lv"))
+    rv = vecs.select(F.col("doc_id").alias("right_id"), F.col("_tv").alias("_rv"))
+    attached = pairs.select("left_id", "right_id").join(lv, "left_id").join(
+        rv, "right_id"
     )
+
+    # id type passes through untouched (long doc_ids stay long, string
+    # record_ids stay strings — the kernel never computes on them)
+    id_dtype = dict(pairs.dtypes)["left_id"]
+    id_ddl = "string" if id_dtype == "string" else "long"
+    pa_id = pa.string() if id_ddl == "string" else pa.int64()
+    out_schema = pa.schema(
+        [
+            pa.field("left_id", pa_id),
+            pa.field("right_id", pa_id),
+            pa.field("_dot", pa.float64()),
+            pa.field("_shared", pa.int64()),
+        ]
+    )
+
+    def _list_parts(arr: pa.ListArray):
+        """(values, zero-based offsets) of a list array, slice-safe."""
+        off = arr.offsets.to_numpy().astype(np.int64)
+        vals = arr.values
+        if len(off) and (off[0] != 0 or off[-1] != len(vals)):
+            vals = vals.slice(off[0], off[-1] - off[0])
+            off = off - off[0]
+        return vals, off
+
+    def kernel(batches):
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            idx = {f: i for i, f in enumerate(batch.schema.names)}
+            lids = batch.column(idx["left_id"])
+            rids = batch.column(idx["right_id"])
+            lvals, loff = _list_parts(batch.column(idx["_lv"]))
+            rvals, roff = _list_parts(batch.column(idx["_rv"]))
+            llen = np.diff(loff)
+            rlen = np.diff(roff)
+            ltok, lval = lvals.field(0), lvals.field(1).to_numpy(
+                zero_copy_only=False
+            )
+            rtok, rval = rvals.field(0), rvals.field(1).to_numpy(
+                zero_copy_only=False
+            )
+            # exact per-batch token ids: ONE dictionary encode over both
+            # sides' token child arrays (C++ hash table, no collisions)
+            codes = (
+                pa.concat_arrays([ltok, rtok])
+                .dictionary_encode()
+                .indices.to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            lcode, rcode = codes[: len(lval)], codes[len(lval):]
+            k = int(codes.max()) + 1 if len(codes) else 1
+            lpair = np.repeat(np.arange(n, dtype=np.int64), llen)
+            rpair = np.repeat(np.arange(n, dtype=np.int64), rlen)
+            lkey = lpair * k + lcode
+            order = np.argsort(lkey, kind="stable")
+            lkey_s, lval_s = lkey[order], lval[order]
+            rkey = rpair * k + rcode
+            dot = np.zeros(n, dtype=np.float64)
+            shared = np.zeros(n, dtype=np.int64)
+            if len(lkey_s):
+                pos = np.minimum(
+                    np.searchsorted(lkey_s, rkey), len(lkey_s) - 1
+                )
+                hit = lkey_s[pos] == rkey
+                if hit.any():
+                    contrib = lval_s[pos[hit]] * rval[hit]
+                    hp = rpair[hit]
+                    dot = np.bincount(hp, weights=contrib, minlength=n)
+                    shared = np.bincount(hp, minlength=n)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    lids,
+                    rids,
+                    pa.array(dot, type=pa.float64()),
+                    pa.array(shared, type=pa.int64()),
+                ],
+                schema=out_schema,
+            )
+
     return (
-        pairs.join(pl, "left_id")
-        .join(pr, ["right_id", "token"])
-        .groupBy("left_id", "right_id")
-        .agg(F.round(F.sum(F.col("lt") * F.col("rt")), 6).alias("tfidf_dot"))
+        attached.mapInArrow(
+            kernel,
+            f"left_id {id_ddl}, right_id {id_ddl}, _dot double, _shared long",
+        )
+        .where(F.col("_shared") > 0)
+        .select(
+            "left_id", "right_id", F.round(F.col("_dot"), 6).alias("tfidf_dot")
+        )
     )
+
+
+def doc_pair_dot_grouped(
+    docs: DataFrame,
+    group_cols: list[str],
+    tile_target: int = 1024,
+    chunk_elems: int = 8_000_000,
+) -> DataFrame:
+    """All WITHIN-GROUP candidate pairs' tfidf dots: bit-identical to
+    ``doc_pair_dot(docs, p)`` where p is the equi-join of docs with
+    itself on ``group_cols`` filtered to left_id < right_id — the shape
+    of every blocking-key pair query.
+
+    Why a dedicated operator (guide §8): the pair set is quadratic in
+    group size, so ANY plan that materializes per-pair vector payloads
+    moves each doc's sparse vector once per candidate (measured: the
+    generic attach-join kernel still spent ~100 s at the driver's
+    sf=1.0 serializing 2x16M vector copies through Arrow). Here every
+    decision that needs the heavy payload happens where the payload
+    already is: docs are hashed into per-group tiles sized by a
+    group-cardinality-bounded count (the same bounded-collect policy as
+    idf_map's vocabulary collect), each tile's vectors are collected
+    ONCE, and one kernel per tile pair enumerates the pairs internally
+    — payload movement is O(n_docs x tiles-per-group), i.e.
+    O(sqrt(output)), not O(output). Same tiling discipline as
+    dedup.embedding_near_dup; tile pairs are independent bounded tasks.
+
+    The kernel is batch-native: per-batch dictionary encode of token
+    child arrays (exact string matching), per-tile sort by code, then a
+    ragged per-token cross-product resolved with cumsum/bincount index
+    algebra — no Python statement per pair. Token-chunked to
+    ``chunk_elems`` so scratch stays bounded regardless of tile size."""
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+
+    id_dtype = dict(docs.dtypes)["doc_id"]
+    id_ddl = "string" if id_dtype == "string" else "long"
+
+    post = doc_tfidf(docs)
+    vecs = post.groupBy("doc_id").agg(
+        F.collect_list(F.struct("token", "tfidf")).alias("_tv")
+    )
+    # equi-join pair semantics: null group keys never match, so docs
+    # with a null key pair with nothing — excluded from PAIRING only
+    # (they still count toward the idf corpus above)
+    paired = docs.select("doc_id", *group_cols)
+    for c in group_cols:
+        paired = paired.where(F.col(c).isNotNull())
+    gdocs = paired.join(vecs, "doc_id")
+
+    # group sizes: low-cardinality by construction (blocking keys), the
+    # bounded driver action that sizes the tile plan
+    spark = docs.sparkSession
+    sizes = paired.groupBy(*group_cols).count().collect()
+    gid_rows, tp_rows = [], []
+    for gid, r in enumerate(sizes):
+        nt = max(1, math.ceil(r["count"] / tile_target))
+        gid_rows.append((*[r[c] for c in group_cols], gid, nt))
+        for i in range(nt):
+            for j in range(i, nt):
+                tp_rows.append((gid, i, j))
+    gcols_ddl = ", ".join(
+        f"{c} {t}" for c, t in docs.select(*group_cols).dtypes
+    )
+    gidtbl = spark.createDataFrame(gid_rows, f"{gcols_ddl}, _gid long, _nt long")
+    tp = spark.createDataFrame(tp_rows, "_gid long, _ti long, _tj long")
+
+    tiled = (
+        gdocs.join(F.broadcast(gidtbl), list(group_cols))
+        .withColumn("_tile", F.pmod(F.xxhash64("doc_id"), F.col("_nt")))
+        .groupBy("_gid", "_tile")
+        .agg(F.collect_list(F.struct("doc_id", "_tv")).alias("_recs"))
+    )
+    a = tiled.select("_gid", F.col("_tile").alias("_ti"), F.col("_recs").alias("_ra"))
+    b = tiled.select("_gid", F.col("_tile").alias("_tj"), F.col("_recs").alias("_rb"))
+    att = tp.join(a, ["_gid", "_ti"]).join(b, ["_gid", "_tj"])
+
+    pa_id = pa.string() if id_ddl == "string" else pa.int64()
+    out_schema = pa.schema(
+        [
+            pa.field("left_id", pa_id),
+            pa.field("right_id", pa_id),
+            pa.field("_dot", pa.float64()),
+        ]
+    )
+
+    def _side(col: pa.ListArray):
+        """Flatten one tile column into FULL child arrays + absolute
+        offsets (never rebased — every index below is absolute, which
+        stays correct for sliced parent arrays)."""
+        r_off = col.offsets.to_numpy().astype(np.int64)
+        recs = col.values  # struct<doc_id, _tv>
+        ids = recs.field(0).to_numpy(zero_copy_only=False)
+        tv = recs.field(1)  # list<struct<token,tfidf>>
+        t_off = tv.offsets.to_numpy().astype(np.int64)
+        ent = tv.values
+        tok = ent.field(0)
+        val = ent.field(1).to_numpy(zero_copy_only=False)
+        return r_off, ids, t_off, tok, val
+
+    def kernel(batches):
+        for batch in batches:
+            nrow = batch.num_rows
+            if nrow == 0:
+                continue
+            idx = {f: i for i, f in enumerate(batch.schema.names)}
+            same_tile = (
+                batch.column(idx["_ti"]).to_numpy()
+                == batch.column(idx["_tj"]).to_numpy()
+            )
+            a_roff, a_ids, a_toff, a_tok, a_val = _side(batch.column(idx["_ra"]))
+            b_roff, b_ids, b_toff, b_tok, b_val = _side(batch.column(idx["_rb"]))
+            # ONE dictionary encode per batch over both full token child
+            # arrays (exact string matching, C++ hash table)
+            codes = (
+                pa.concat_arrays(
+                    [
+                        a_tok.combine_chunks()
+                        if isinstance(a_tok, pa.ChunkedArray)
+                        else a_tok,
+                        b_tok.combine_chunks()
+                        if isinstance(b_tok, pa.ChunkedArray)
+                        else b_tok,
+                    ]
+                )
+                .dictionary_encode()
+                .indices.to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            a_codes = codes[: len(a_val)]
+            b_codes = codes[len(a_val):]
+
+            out_l, out_r, out_d = [], [], []
+            for row in range(nrow):
+                # absolute doc ranges of this tile pair
+                ad0, ad1 = int(a_roff[row]), int(a_roff[row + 1])
+                bd0, bd1 = int(b_roff[row]), int(b_roff[row + 1])
+                n_a, n_b = ad1 - ad0, bd1 - bd0
+                if n_a == 0 or n_b == 0:
+                    continue
+                # absolute token-entry ranges
+                ae0, ae1 = int(a_toff[ad0]), int(a_toff[ad1])
+                be0, be1 = int(b_toff[bd0]), int(b_toff[bd1])
+                ac = a_codes[ae0:ae1]
+                av = a_val[ae0:ae1]
+                ad = np.repeat(
+                    np.arange(n_a, dtype=np.int64),
+                    np.diff(a_toff[ad0 : ad1 + 1]),
+                )
+                bc = b_codes[be0:be1]
+                bv = b_val[be0:be1]
+                bd = np.repeat(
+                    np.arange(n_b, dtype=np.int64),
+                    np.diff(b_toff[bd0 : bd1 + 1]),
+                )
+                ao = np.argsort(ac, kind="stable")
+                ac, av, ad = ac[ao], av[ao], ad[ao]
+                bo = np.argsort(bc, kind="stable")
+                bc, bv, bd = bc[bo], bv[bo], bd[bo]
+                ucodes = np.unique(np.concatenate([ac, bc]))
+                ast = np.searchsorted(ac, ucodes)
+                aen = np.searchsorted(ac, ucodes, side="right")
+                bst = np.searchsorted(bc, ucodes)
+                ben = np.searchsorted(bc, ucodes, side="right")
+                cna = aen - ast
+                cnb = ben - bst
+                m = cna * cnb
+                keep = m > 0
+                cna, cnb, m = cna[keep], cnb[keep], m[keep]
+                ast, bst = ast[keep], bst[keep]
+                dot = np.zeros(n_a * n_b, dtype=np.float64)
+                shr = np.zeros(n_a * n_b, dtype=np.int64)
+                # chunk over the code axis to bound scratch memory
+                bounds = np.concatenate(
+                    [[0], np.cumsum(m)]
+                )
+                lo = 0
+                n_codes = len(m)
+                while lo < n_codes:
+                    hi = int(
+                        np.searchsorted(bounds, bounds[lo] + chunk_elems)
+                    )
+                    hi = min(max(hi - 1, lo + 1), n_codes)
+                    mm = m[lo:hi]
+                    tot = int(bounds[hi] - bounds[lo])
+                    if tot:
+                        ci = np.repeat(np.arange(lo, hi, dtype=np.int64), mm)
+                        local = np.arange(tot, dtype=np.int64) - np.repeat(
+                            bounds[lo:hi] - bounds[lo], mm
+                        )
+                        i_loc = local // cnb[ci]
+                        j_loc = local - i_loc * cnb[ci]
+                        a_idx = ast[ci] + i_loc
+                        b_idx = bst[ci] + j_loc
+                        pk = ad[a_idx] * n_b + bd[b_idx]
+                        dot += np.bincount(
+                            pk, weights=av[a_idx] * bv[b_idx],
+                            minlength=n_a * n_b,
+                        )
+                        shr += np.bincount(pk, minlength=n_a * n_b).astype(
+                            np.int64
+                        )
+                    lo = hi
+                mask = shr > 0
+                if same_tile[row]:
+                    mask &= (
+                        a_ids[ad0:ad1, None] < b_ids[None, bd0:bd1]
+                    ).reshape(-1)
+                pk_hit = np.nonzero(mask)[0]
+                if not len(pk_hit):
+                    continue
+                la = a_ids[ad0:ad1][pk_hit // n_b]
+                rb_ = b_ids[bd0:bd1][pk_hit % n_b]
+                lo_first = la < rb_
+                out_l.append(np.where(lo_first, la, rb_))
+                out_r.append(np.where(lo_first, rb_, la))
+                out_d.append(dot[pk_hit])
+            if out_l:
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(np.concatenate(out_l), type=pa_id),
+                        pa.array(np.concatenate(out_r), type=pa_id),
+                        pa.array(np.concatenate(out_d), type=pa.float64()),
+                    ],
+                    schema=out_schema,
+                )
+
+    return att.mapInArrow(
+        kernel, f"left_id {id_ddl}, right_id {id_ddl}, _dot double"
+    ).select("left_id", "right_id", F.round(F.col("_dot"), 6).alias("tfidf_dot"))
 
 
 # ---------------------------------------------------------------------------

@@ -3,6 +3,14 @@ __spark_entry__.queries() entry and its oracle_sql() twin on the same
 parquet tables via DuckDB, compare row count + column names +
 order-insensitive value hash.
 
+The DuckDB side is fetched through PANDAS (`.df()`), matching the
+driver's fetch path: round 5 proved the driver coerces DuckDB HUGEINT
+results to float64 (pack_documents hash_match=false while this
+mirror's old `.fetchall()` leg — native ints — passed). A secondary
+fetchall leg still runs and any divergence between the two legs is
+reported, so a type-coercion gap between engines can never again hide
+behind the fetch path.
+
 Usage: python scripts/check_oracles.py [sf_dir] [name ...]
 """
 
@@ -23,6 +31,10 @@ TABLES = [
 
 
 def _norm_cell(v):
+    import numpy as np
+
+    if isinstance(v, np.generic):
+        v = v.item()
     if v is None:
         return "NULL"
     if isinstance(v, bool):
@@ -75,9 +87,10 @@ def main() -> int:
             print(f"  {name:28s} rows-only: {len(srows)} rows  ({time.time()-t0:.1f}s)")
             continue
         try:
-            res = con.execute(oracles[name])
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            pdf = con.sql(oracles[name]).df()
+            ocols = list(pdf.columns)
+            orows = [tuple(r) for r in pdf.itertuples(index=False, name=None)]
+            raw = con.execute(oracles[name]).fetchall()
         except Exception as exc:
             print(f"✗ {name:28s} ORACLE SQL ERROR: {exc}")
             failures += 1
@@ -86,6 +99,12 @@ def main() -> int:
         ok_cols = sorted(scols) == sorted(ocols)
         sh, oh = value_hash(scols, srows), value_hash(ocols, orows)
         ok_hash = sh == oh
+        rawh = value_hash(ocols, raw)
+        if rawh != oh:
+            print(
+                f"  {name:28s} NOTE: fetchall leg differs from pandas leg "
+                f"({rawh} vs {oh}) — engine type coercion in play"
+            )
         status = "✓" if (ok_rows and ok_cols and ok_hash) else "✗"
         if status == "✗":
             failures += 1

@@ -250,3 +250,87 @@ def test_embeddings_unit_norm_and_deterministic(spark):
     norm = math.sqrt(sum(x * x for x in rows["r1"]))
     assert norm == pytest.approx(1.0, abs=1e-5)
     assert all(x == 0.0 for x in rows["r3"])
+
+
+# ---------------------------------------------------------------------------
+# round-6 pair-dot kernels: equivalence against the old join formulation
+# ---------------------------------------------------------------------------
+
+def _join_reference_dot(docs, pairs):
+    """The pre-round-6 postings-join formulation of doc_pair_dot — kept
+    here as the executable spec the vectorized kernels must match."""
+    post = features.doc_tfidf(docs)
+    pl = post.select(
+        F.col("doc_id").alias("left_id"), "token", F.col("tfidf").alias("lt")
+    )
+    pr = post.select(
+        F.col("doc_id").alias("right_id"), "token", F.col("tfidf").alias("rt")
+    )
+    return (
+        pairs.join(pl, "left_id")
+        .join(pr, ["right_id", "token"])
+        .groupBy("left_id", "right_id")
+        .agg(F.round(F.sum(F.col("lt") * F.col("rt")), 6).alias("tfidf_dot"))
+    )
+
+
+def _random_docs(spark, n=60, vocab=12, seed=3):
+    import random
+
+    rng = random.Random(seed)
+    words = [f"w{i}" for i in range(vocab)]
+    rows = []
+    for i in range(n):
+        text = " ".join(rng.choice(words) for _ in range(rng.randint(0, 9)))
+        rows.append((i, text, f"g{rng.randint(0, 2)}", f"s{rng.randint(0, 1)}"))
+    # a doc with no tokens at all and one with a null group key
+    rows.append((n, "", "g0", "s0"))
+    rows.append((n + 1, "w0 w1", None, "s0"))
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+
+
+def test_doc_pair_dot_kernel_matches_join_reference(spark):
+    docs = _random_docs(spark)
+    l = docs.select(F.col("doc_id").alias("left_id"), "lang", "source")
+    r = docs.select(F.col("doc_id").alias("right_id"), "lang", "source")
+    pairs = (
+        l.join(r, ["lang", "source"])
+        .where(F.col("left_id") < F.col("right_id"))
+        .select("left_id", "right_id")
+    )
+    got = {
+        (x["left_id"], x["right_id"]): x["tfidf_dot"]
+        for x in features.doc_pair_dot(docs, pairs).collect()
+    }
+    want = {
+        (x["left_id"], x["right_id"]): x["tfidf_dot"]
+        for x in _join_reference_dot(docs, pairs).collect()
+    }
+    assert got == want and len(got) > 20
+
+
+def test_doc_pair_dot_grouped_equals_pairwise(spark):
+    docs = _random_docs(spark)
+    l = docs.select(F.col("doc_id").alias("left_id"), "lang", "source")
+    r = docs.select(F.col("doc_id").alias("right_id"), "lang", "source")
+    pairs = (
+        l.join(r, ["lang", "source"])
+        .where(F.col("left_id") < F.col("right_id"))
+        .select("left_id", "right_id")
+    )
+    want = {
+        (x["left_id"], x["right_id"]): x["tfidf_dot"]
+        for x in _join_reference_dot(docs, pairs).collect()
+    }
+    # tile_target=4 forces multi-tile groups (cross-tile + same-tile
+    # kernel paths both exercised); chunk_elems=17 forces the chunked
+    # code-axis loop
+    got = {
+        (x["left_id"], x["right_id"]): x["tfidf_dot"]
+        for x in features.doc_pair_dot_grouped(
+            docs, ["lang", "source"], tile_target=4, chunk_elems=17
+        ).collect()
+    }
+    assert got == want and len(got) > 20
