@@ -26,6 +26,22 @@ from pyspark.sql import functions as F
 from .text import tokens_col
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to the session's default parallelism when
+    the source scan yields fewer partitions — a small local corpus packs
+    into a handful of parquet splits and would otherwise run every
+    Python kernel at a fraction of the available cores (guide §2.5
+    input-skew note). Scale-adaptive: inputs that already scan wide are
+    left untouched, so at cluster scale this is a no-op; the
+    repartition itself moves only the projected (id, text) columns.
+    Deterministic under retries (sortBeforeRepartition is on by
+    default)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def exact_duplicates(docs: DataFrame) -> DataFrame:
     """Exact dedup via hash-groupBy on normalized-text sha256. Returns
     (exact_fp, n_dups, canonical_doc_id) for groups of size > 1.
@@ -88,23 +104,74 @@ def minhash_band_keys(docs: DataFrame, bands: int = 4) -> DataFrame:
     """(doc_id, band, band_key): band_key = min over distinct word
     3-shingles of md5(seed || shingle) — one independent 1-perm MinHash
     per band. md5 keeps the oracle comparison exact; the production
-    variant uses int64 affine perms (amp.blocking.minhash_signatures)."""
-    sh = _distinct_shingles(docs)
-    mins = [
-        F.min(F.md5(F.concat(F.lit(f"band{b}:"), F.col("shingle")))).alias(f"mh_{b}")
-        for b in range(bands)
-    ]
-    agg = sh.groupBy("doc_id").agg(*mins)
-    # one explode pass instead of a bands-way union of projections over
-    # the same aggregate (same unpivot idiom as _banded_fp_pairs)
-    keys = F.array(
-        *[
-            F.struct(F.lit(b).alias("band"), F.col(f"mh_{b}").alias("band_key"))
-            for b in range(bands)
-        ]
-    )
-    return agg.select("doc_id", F.explode(keys).alias("bk")).select(
-        "doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
+    variant uses int64 affine perms (amp.blocking.minhash_signatures).
+
+    Round 6 (guide §2.4/§4.2): computed in ONE Arrow-batched pass — the
+    per-doc shingle set never leaves the Python worker, replacing the
+    explode -> Exchange -> SortAggregate pipeline that shuffled one row
+    per (doc, shingle) and evaluated ``bands`` string-min aggregates
+    over 2.6M rows (measured 10.8 of the query's 11.6 s at the
+    driver's sf=1.0). hashlib.md5 of the identical salted UTF-8 bytes
+    produces the identical lowercase-hex digest, and min over hex
+    strings is byte order — bit-equal keys, asserted against the
+    expression formulation in tests and by the DuckDB oracle.
+    Tokenization mirrors text.tokens_col exactly: re.split on the same
+    pattern over str.lower() (corpus contract: the oracle's DuckDB
+    lower() already pins ASCII-equivalent lowering)."""
+    import re
+    from collections.abc import Iterator
+    from hashlib import md5 as _md5
+
+    import pandas as pd
+
+    from .text import TOKEN_SPLIT_RE
+
+    salts = [f"band{b}:".encode() for b in range(bands)]
+    split = re.compile(TOKEN_SPLIT_RE).split
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # per-worker md5 memo keyed by shingle — the shingle vocabulary
+        # is corpus-content-bounded and repeats across documents, so
+        # each distinct shingle is hashed ``bands`` times per partition
+        # instead of once per occurrence (pure caching, bit-identical;
+        # same policy as features.df_partials' crc32 memos)
+        memo: dict[str, tuple[str, ...]] = {}
+
+        def keys_of(s: str) -> tuple[str, ...]:
+            k = memo.get(s)
+            if k is None:
+                e = s.encode()
+                k = tuple(_md5(salt + e).hexdigest() for salt in salts)
+                memo[s] = k
+            return k
+
+        for pdf in batches:
+            ids, band_l, key_l = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                toks = [t for t in split((text or "").lower()) if t]
+                if not toks:
+                    continue
+                if len(toks) < 3:
+                    shingles: set[str] = {" ".join(toks)}
+                else:
+                    shingles = {
+                        " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+                    }
+                mins = [min(ks) for ks in zip(*map(keys_of, shingles))]
+                for b in range(bands):
+                    ids.append(doc_id)
+                    band_l.append(b)
+                    key_l.append(mins[b])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array(ids, dtype="int64"),
+                    "band": pd.array(band_l, dtype="int32"),
+                    "band_key": key_l,
+                }
+            )
+
+    return _spread(docs.select("doc_id", "text")).mapInPandas(
+        fn, "doc_id long, band int, band_key string"
     )
 
 
@@ -345,24 +412,80 @@ def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
             "fingerprint budget (1<<j literals are summed into one long "
             "column); use simhash64 for the 64-bit production variant"
         )
-    toks = _distinct_tokens(docs)
-    # bit j of the md5: nibble = hex digit at position j//4, bit = j%4
-    bit_votes = []
-    for j in range(bits):
-        nib = F.conv(F.substring(F.md5("token"), j // 4 + 1, 1), 16, 10).cast("int")
-        bit = F.shiftright(nib, j % 4).bitwiseAND(F.lit(1))
-        bit_votes.append(
-            F.sum(F.when(bit == 1, 1).otherwise(-1)).alias(f"v_{j}")
-        )
-    votes = toks.groupBy("doc_id").agg(*bit_votes)
-    fp = sum(
-        (
-            F.when(F.col(f"v_{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
-            for j in range(bits)
-        ),
-        F.lit(0),
+    # Round 6 (guide §2.4/§4.2): one Arrow-batched pass instead of
+    # explode -> Exchange -> groupBy with ``bits`` conditional sums
+    # that each re-parse the md5 hex. Same math bit-for-bit: nibble
+    # j//4 of the digest, bit j%4, +/-1 votes over DISTINCT tokens,
+    # fingerprint bit j set iff the vote sum is positive. Docs with no
+    # tokens emit no row (exactly the explode+groupBy behavior).
+    import re
+    from collections.abc import Iterator
+    from hashlib import md5 as _md5
+
+    import numpy as np
+    import pandas as pd
+
+    from .text import TOKEN_SPLIT_RE
+
+    n_hex = (bits + 3) // 4
+    split = re.compile(TOKEN_SPLIT_RE).split
+    weights = (1 << np.arange(bits, dtype=np.int64))
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # per-worker memo: token -> row index into the signed-bit
+        # matrix; each distinct token is md5'd once per partition
+        # (vocabulary-bounded, same policy as features.df_partials)
+        memo: dict[str, int] = {}
+        rows: list[list[int]] = []
+
+        def idx_of(t: str) -> int:
+            i = memo.get(t)
+            if i is None:
+                h = _md5(t.encode()).hexdigest()[:n_hex]
+                nibs = [
+                    (c - 87) if c >= 97 else (c - 48) for c in h.encode()
+                ]
+                rows.append(
+                    [2 * ((nibs[j // 4] >> (j % 4)) & 1) - 1 for j in range(bits)]
+                )
+                i = len(rows) - 1
+                memo[t] = i
+            return i
+
+        for pdf in batches:
+            ids, lens, tok_idx = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                dtoks = {t for t in split((text or "").lower()) if t}
+                if not dtoks:
+                    continue
+                ids.append(doc_id)
+                lens.append(len(dtoks))
+                tok_idx.extend(map(idx_of, dtoks))
+            if not ids:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pd.array([], dtype="int64"),
+                        "simhash": pd.array([], dtype="int64"),
+                    }
+                )
+                continue
+            signed = np.asarray(rows, dtype=np.int32)[
+                np.asarray(tok_idx, dtype=np.int64)
+            ]
+            starts = np.zeros(len(ids), dtype=np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            votes = np.add.reduceat(signed, starts, axis=0)
+            fp = ((votes > 0) @ weights).astype(np.int64)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array(ids, dtype="int64"),
+                    "simhash": fp,
+                }
+            )
+
+    return _spread(docs.select("doc_id", "text")).mapInPandas(
+        fn, "doc_id long, simhash long"
     )
-    return votes.select("doc_id", fp.alias("simhash"))
 
 
 def _banded_fp_pairs(
@@ -598,17 +721,56 @@ def embedding_lsh_near_dup(
     gated by tests/test_dedup_scale.py (planted near-dups, recall >=
     0.95); semantics are still exactly specified because the seeded
     planes fold into both the plan and the DuckDB oracle."""
-    from .ann import bucket_expr
+    import numpy as np
+    import pandas as pd
 
     plane_groups = embedding_lsh_planes(dim, bands, band_bits, seed)
-    d = _vec_norm(embs, id_col, vec_col)
-    keys = [
-        F.struct(F.lit(bi).alias("band"), bucket_expr("v", pg).alias("bucket"))
-        for bi, pg in enumerate(plane_groups)
-    ]
-    k = d.select("id", F.explode(F.array(*keys)).alias("bk")).select(
-        "id", F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket")
+    planes = np.asarray(
+        [p for pg in plane_groups for p in pg], dtype=np.float64
+    )  # (bands*band_bits, dim)
+    bit_w = np.asarray(
+        [1 << j for _ in range(bands) for j in range(band_bits)], dtype=np.int64
     )
+    band_of = np.repeat(np.arange(bands, dtype=np.int64), band_bits)
+
+    id_dtype = dict(embs.dtypes)[id_col]
+    id_ddl = "string" if id_dtype == "string" else "long"
+
+    # Round 6 (guide §2.3 "shuffle keys and metadata instead of
+    # payloads" + §4.2): bucket bits come from one numpy matmul per
+    # batch instead of bands*band_bits interpreted aggregate/zip_with
+    # lambdas per row, and the exact-cosine verify looks both vectors
+    # up in a driver-collected, broadcast matrix — the candidate
+    # stream (two ids per row) never carries vector payloads through
+    # a join. The collect is vec-table-sized and gated like
+    # features.idf_map's vocabulary collect; above the gate we fall
+    # back to candidate joins against the vector table.
+    src = _spread(embs.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")))
+
+    def key_fn(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf["v"]]
+            )
+            bits = (V @ planes.T) > 0  # (n, bands*band_bits)
+            ids_out, band_out, bucket_out = [], [], []
+            for bi in range(bands):
+                sel = band_of == bi
+                bucket = (bits[:, sel] * bit_w[sel]).sum(axis=1)
+                ids_out.append(pdf["id"].values)
+                band_out.append(np.full(len(pdf), bi, dtype=np.int64))
+                bucket_out.append(bucket)
+            yield pd.DataFrame(
+                {
+                    "id": np.concatenate(ids_out),
+                    "band": np.concatenate(band_out),
+                    "bucket": np.concatenate(bucket_out),
+                }
+            )
+
+    k = src.mapInPandas(key_fn, f"id {id_ddl}, band long, bucket long")
     cand = (
         k.select(F.col("id").alias("left_id"), "band", "bucket")
         .join(k.select(F.col("id").alias("right_id"), "band", "bucket"), ["band", "bucket"])
@@ -616,15 +778,61 @@ def embedding_lsh_near_dup(
         .select("left_id", "right_id")
         .distinct()
     )
-    from .ann import _dot
 
-    lhs = d.select(F.col("id").alias("left_id"), F.col("v").alias("lv"), F.col("n").alias("ln"))
-    rhs = d.select(F.col("id").alias("right_id"), F.col("v").alias("rv"), F.col("n").alias("rn"))
-    dot = _dot("lv", "rv")
+    n_vecs = embs.count()
+    if n_vecs <= 200_000:
+        vp = embs.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).toPandas()
+        mat = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in vp["v"]]
+        )
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        index = {i: j for j, i in enumerate(vp["id"])}
+        bc = embs.sparkSession.sparkContext.broadcast((index, mat, norms))
+
+        def verify_fn(batches):
+            idx, m, nn = bc.value
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                li = np.fromiter(
+                    (idx[i] for i in pdf["left_id"]), dtype=np.int64,
+                    count=len(pdf),
+                )
+                ri = np.fromiter(
+                    (idx[i] for i in pdf["right_id"]), dtype=np.int64,
+                    count=len(pdf),
+                )
+                dots = np.einsum("ij,ij->i", m[li], m[ri])
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    cos = dots / (nn[li] * nn[ri])
+                yield pd.DataFrame(
+                    {
+                        "left_id": pdf["left_id"],
+                        "right_id": pdf["right_id"],
+                        "cos_raw": cos,
+                    }
+                )
+
+        scored = cand.mapInPandas(
+            verify_fn, f"left_id {id_ddl}, right_id {id_ddl}, cos_raw double"
+        )
+    else:
+        from .ann import _dot
+
+        d = _vec_norm(embs, id_col, vec_col)
+        lhs = d.select(F.col("id").alias("left_id"), F.col("v").alias("lv"), F.col("n").alias("ln"))
+        rhs = d.select(F.col("id").alias("right_id"), F.col("v").alias("rv"), F.col("n").alias("rn"))
+        scored = (
+            cand.join(lhs, "left_id")
+            .join(rhs, "right_id")
+            .select(
+                "left_id",
+                "right_id",
+                (_dot("lv", "rv") / (F.col("ln") * F.col("rn"))).alias("cos_raw"),
+            )
+        )
     return (
-        cand.join(lhs, "left_id")
-        .join(rhs, "right_id")
-        .withColumn("cosine", F.round(dot / (F.col("ln") * F.col("rn")), 6))
+        scored.withColumn("cosine", F.round("cos_raw", 6))
         .where(F.col("cosine") >= threshold)
         .select("left_id", "right_id", "cosine")
     )
