@@ -35,6 +35,86 @@ def _norm(c: str):
     return F.sqrt(F.expr(f"aggregate({c}, 0.0D, (a, x) -> a + x * x)"))
 
 
+_GEMM_QUERIES_MAX = 100_000
+
+
+def _gemm_scores(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    exclude_self: bool,
+    drop_zero_norm: bool,
+    as_distance: bool,
+):
+    """(query_id, corpus_id, raw) via one float64 GEMM per corpus batch
+    against a driver-collected query matrix, or None when the query
+    side exceeds the collect gate (callers fall back to the broadcast
+    join). The corpus streams once and never shuffles; raw cosines are
+    rounded Spark-side so the oracle comparison stays unchanged."""
+    import numpy as np
+    import pandas as pd
+
+    qp = (
+        queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
+        .limit(_GEMM_QUERIES_MAX + 1)
+        .toPandas()
+    )
+    if len(qp) > _GEMM_QUERIES_MAX:
+        return None
+    Q = np.asarray([np.asarray(v, dtype=np.float64) for v in qp["qv"]])
+    qids = qp["qid"].to_numpy()
+    if len(Q):
+        qn = np.sqrt((Q * Q).sum(axis=1))
+        if drop_zero_norm:
+            keep = qn > 0
+            Q, qn, qids = Q[keep], qn[keep], qids[keep]
+    else:
+        qn = np.zeros(0)
+    bc = corpus.sparkSession.sparkContext.broadcast((qids, Q, qn))
+
+    id_dtype = dict(corpus.dtypes)[id_col]
+    id_ddl = "string" if id_dtype == "string" else "long"
+
+    def fn(batches):
+        qids_, Q_, qn_ = bc.value
+        for pdf in batches:
+            if not len(pdf) or not len(Q_):
+                continue
+            C = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["cid_v"]])
+            cn = np.sqrt((C * C).sum(axis=1))
+            cids = pdf["cid"].to_numpy()
+            if drop_zero_norm:
+                keep = cn > 0
+                C, cn, cids = C[keep], cn[keep], cids[keep]
+            if not len(C):
+                continue
+            with np.errstate(invalid="ignore", divide="ignore"):
+                raw = (C @ Q_.T) / np.outer(cn, qn_)
+            if as_distance:
+                raw = 1.0 - raw
+            n, m = raw.shape
+            qcol = np.tile(qids_, n)
+            ccol = np.repeat(cids, m)
+            rawf = raw.ravel()
+            if exclude_self:
+                mask = qcol != ccol
+                qcol, ccol, rawf = qcol[mask], ccol[mask], rawf[mask]
+            yield pd.DataFrame(
+                {"query_id": qcol, "corpus_id": ccol, "raw": rawf}
+            )
+
+    from .session import spread_to_cores
+
+    src = spread_to_cores(
+        corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cid_v"))
+    )
+    return src.mapInPandas(
+        fn, f"query_id {id_ddl}, corpus_id {id_ddl}, raw double"
+    )
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -48,23 +128,36 @@ def brute_force_topk(
     sides: their cosine is NaN, and Spark sorts NaN ABOVE every real
     double in a descending window, so an all-zero embedding would
     otherwise take rank 1 for every query."""
-    c = (
-        corpus.select(F.col(id_col).alias("corpus_id"), _as_double(vec_col).alias("cv"))
-        .withColumn("cn", _norm("cv"))
-        .where(F.col("cn") > 0)
+    # Round 6 (guide §4.2): the query batch collects to the driver (it
+    # is the bounded side by contract — same gate policy as the scorer
+    # broadcasts) and each corpus batch scores against ALL queries in
+    # one float64 GEMM, replacing a per-(corpus x query) interpreted
+    # aggregate/zip_with lambda. Corpus still streams exactly once and
+    # never shuffles; the join fallback remains for huge query batches.
+    scored = _gemm_scores(
+        corpus, queries, id_col, vec_col,
+        exclude_self=True, drop_zero_norm=True, as_distance=False,
     )
-    q = (
-        queries.select(F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv"))
-        .withColumn("qn", _norm("qv"))
-        .where(F.col("qn") > 0)
-    )
-    scored = (
-        c.join(F.broadcast(q))
-        .where(F.col("query_id") != F.col("corpus_id"))
-        .withColumn(
-            "cosine", F.round(_dot("qv", "cv") / (F.col("qn") * F.col("cn")), 6)
+    if scored is None:
+        c = (
+            corpus.select(F.col(id_col).alias("corpus_id"), _as_double(vec_col).alias("cv"))
+            .withColumn("cn", _norm("cv"))
+            .where(F.col("cn") > 0)
         )
-    )
+        q = (
+            queries.select(F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv"))
+            .withColumn("qn", _norm("qv"))
+            .where(F.col("qn") > 0)
+        )
+        scored = (
+            c.join(F.broadcast(q))
+            .where(F.col("query_id") != F.col("corpus_id"))
+            .select(
+                "query_id", "corpus_id",
+                (_dot("qv", "cv") / (F.col("qn") * F.col("cn"))).alias("raw"),
+            )
+        )
+    scored = scored.withColumn("cosine", F.round("raw", 6))
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("corpus_id")
     )
@@ -90,19 +183,23 @@ def provided_embedding_match(
     vectors instead of the hashing-trick ones (the
     scoring.attach_embeddings ingest path). Query side broadcasts; the
     corpus streams once and never shuffles."""
-    c = corpus.select(
-        F.col(id_col).alias("corpus_id"), _as_double(vec_col).alias("cv")
-    ).withColumn("cn", _norm("cv"))
-    q = queries.select(
-        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")
-    ).withColumn("qn", _norm("qv"))
-    scored = (
-        c.join(F.broadcast(q))
-        .withColumn(
-            "distance",
-            F.round(F.lit(1.0) - _dot("qv", "cv") / (F.col("qn") * F.col("cn")), 6),
+    scored = _gemm_scores(
+        corpus, queries, id_col, vec_col,
+        exclude_self=False, drop_zero_norm=False, as_distance=True,
+    )
+    if scored is None:
+        c = corpus.select(
+            F.col(id_col).alias("corpus_id"), _as_double(vec_col).alias("cv")
+        ).withColumn("cn", _norm("cv"))
+        q = queries.select(
+            F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")
+        ).withColumn("qn", _norm("qv"))
+        scored = c.join(F.broadcast(q)).select(
+            "query_id", "corpus_id",
+            (F.lit(1.0) - _dot("qv", "cv") / (F.col("qn") * F.col("cn"))).alias("raw"),
         )
-        .where(F.col("distance") <= max_distance)
+    scored = scored.withColumn("distance", F.round("raw", 6)).where(
+        F.col("distance") <= max_distance
     )
     w = Window.partitionBy("query_id").orderBy(F.asc("distance"), F.asc("corpus_id"))
     return (

@@ -69,6 +69,27 @@ class AmpConfig:
                                     # higher; the knob is the executor-memory
                                     # budget for the dimension-style side.
 
+    gather_sides_max_records: int = 0
+                                    # round-6 alternate scorer transport (the
+                                    # round-5 "dictionary join" proposal): at or
+                                    # below this many records the side-features
+                                    # table is collected once and broadcast as
+                                    # numpy stores; the pair stream then crosses
+                                    # the Arrow boundary as BARE ID PAIRS and
+                                    # the kernel gathers payloads by index —
+                                    # no payload joins, no payload shuffle, no
+                                    # per-pair payload serialization. Measured
+                                    # A/B at 168k records on local[32]
+                                    # (OPTIMIZATION_r06.md): 19.1 s vs the join
+                                    # path's 15.8 s — the driver-serial
+                                    # collect+broadcast costs more than the
+                                    # tmpfs-local shuffle it replaces, so the
+                                    # default stays OFF. The transport exists
+                                    # for network-bound clusters where shuffle
+                                    # bytes, not driver serialization, dominate;
+                                    # budget ~payload bytes x records per Python
+                                    # worker when enabling.
+
     fused_reps_min_partitions: int = 24
                                     # pipeline constant-phase shape: when the
                                     # pinned records table has at least this

@@ -26,20 +26,7 @@ from pyspark.sql import functions as F
 from .text import tokens_col
 
 
-def _spread(df: DataFrame) -> DataFrame:
-    """Round-robin repartition to the session's default parallelism when
-    the source scan yields fewer partitions — a small local corpus packs
-    into a handful of parquet splits and would otherwise run every
-    Python kernel at a fraction of the available cores (guide §2.5
-    input-skew note). Scale-adaptive: inputs that already scan wide are
-    left untouched, so at cluster scale this is a no-op; the
-    repartition itself moves only the projected (id, text) columns.
-    Deterministic under retries (sortBeforeRepartition is on by
-    default)."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+from .session import spread_to_cores as _spread  # noqa: E402 (shared util)
 
 
 def exact_duplicates(docs: DataFrame) -> DataFrame:

@@ -268,29 +268,71 @@ def pair_tfidf(pairs: DataFrame, post: DataFrame, field: str = "content") -> Dat
     )
 
 
-def doc_tfidf(docs: DataFrame) -> DataFrame:
+def doc_tfidf(docs: DataFrame, n_docs: int | None = None) -> DataFrame:
     """TF-IDF postings over a documents(doc_id, text) table — the
     oracle-facing twin of postings(): tf = count/len, idf = ln(N/df)
-    unsmoothed (reference make_tf_idf.go:66-72)."""
-    from .text import tokens_col
+    unsmoothed (reference make_tf_idf.go:66-72). ``n_docs`` lets a
+    caller that already counted the corpus skip the extra scan.
 
-    toks = docs.select("doc_id", F.explode(tokens_col()).alias("token"))
-    counts = toks.groupBy("doc_id", "token").agg(F.count("*").alias("c"))
-    doclen = counts.groupBy("doc_id").agg(F.sum("c").alias("n"))
-    df_tbl = toks.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
-    n_docs = docs.count()
-    return (
-        counts.join(doclen, "doc_id")
-        .join(F.broadcast(df_tbl), "token")
-        .select(
-            "doc_id",
-            "token",
-            F.round(
-                (F.col("c") / F.col("n"))
-                * F.log(F.lit(float(n_docs)) / F.col("df")),
-                6,
-            ).alias("tfidf"),
-        )
+    Round 6 (guide §2.3 "aggregate before you shuffle" / §4.2): the
+    per-document term counts and document length come out of ONE Arrow
+    pass (collections.Counter per doc — integers, bit-exact), so the
+    explode of every token occurrence and the two grouped aggregations
+    over it ((doc, token) counts and per-doc length) never shuffle at
+    all; the only remaining Exchange is the vocabulary-sized document
+    frequency aggregate, which is map-side combinable and broadcast
+    back. The tfidf arithmetic itself stays in Spark SQL expressions —
+    identical doubles to the old plan. Same kernel discipline as
+    features.term_counts (the pipeline's production twin)."""
+    import re
+    from collections import Counter
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from .text import TOKEN_SPLIT_RE
+
+    split = re.compile(TOKEN_SPLIT_RE).split
+    id_dtype = dict(docs.dtypes)["doc_id"]
+    id_ddl = "string" if id_dtype == "string" else "long"
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, toks_out, c_out, n_out = [], [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                toks = [t for t in split((text or "").lower()) if t]
+                if not toks:
+                    continue
+                n = len(toks)
+                for t, c in Counter(toks).items():
+                    ids.append(doc_id)
+                    toks_out.append(t)
+                    c_out.append(c)
+                    n_out.append(n)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "token": toks_out,
+                    "c": pd.array(c_out, dtype="int64"),
+                    "n": pd.array(n_out, dtype="int64"),
+                }
+            )
+
+    from .dedup import _spread
+
+    counts = _spread(docs.select("doc_id", "text")).mapInPandas(
+        fn, f"doc_id {id_ddl}, token string, c long, n long"
+    )
+    df_tbl = counts.groupBy("token").agg(F.count("*").alias("df"))
+    if n_docs is None:
+        n_docs = docs.count()
+    return counts.join(F.broadcast(df_tbl), "token").select(
+        "doc_id",
+        "token",
+        F.round(
+            (F.col("c") / F.col("n")) * F.log(F.lit(float(n_docs)) / F.col("df")),
+            6,
+        ).alias("tfidf"),
     )
 
 
@@ -328,11 +370,11 @@ def doc_pair_dot(
     import numpy as np
     import pyarrow as pa
 
-    post = doc_tfidf(docs)
+    n_docs = docs.count()
+    post = doc_tfidf(docs, n_docs=n_docs)
     vecs = post.groupBy("doc_id").agg(
         F.collect_list(F.struct("token", "tfidf")).alias("_tv")
     )
-    n_docs = docs.count()
     if n_docs <= broadcast_vecs_max_docs:
         vecs = F.broadcast(vecs)
     lv = vecs.select(F.col("doc_id").alias("left_id"), F.col("_tv").alias("_lv"))
@@ -470,29 +512,33 @@ def doc_pair_dot_grouped(
     id_dtype = dict(docs.dtypes)["doc_id"]
     id_ddl = "string" if id_dtype == "string" else "long"
 
-    post = doc_tfidf(docs)
-    vecs = post.groupBy("doc_id").agg(
-        F.collect_list(F.struct("token", "tfidf")).alias("_tv")
-    )
-    # equi-join pair semantics: null group keys never match, so docs
-    # with a null key pair with nothing — excluded from PAIRING only
-    # (they still count toward the idf corpus above)
-    paired = docs.select("doc_id", *group_cols)
-    for c in group_cols:
-        paired = paired.where(F.col(c).isNotNull())
-    gdocs = paired.join(vecs, "doc_id")
-
     # group sizes: low-cardinality by construction (blocking keys), the
-    # bounded driver action that sizes the tile plan
+    # ONE bounded driver action of this operator — it sizes the tile
+    # plan AND yields n_docs for the idf (null-keyed groups count toward
+    # the corpus but never pair: equi-join semantics)
     spark = docs.sparkSession
-    sizes = paired.groupBy(*group_cols).count().collect()
+    sizes = docs.groupBy(*group_cols).count().collect()
+    n_docs = sum(r["count"] for r in sizes)
     gid_rows, tp_rows = [], []
-    for gid, r in enumerate(sizes):
+    gid = 0
+    for r in sizes:
+        if any(r[c] is None for c in group_cols):
+            continue
         nt = max(1, math.ceil(r["count"] / tile_target))
         gid_rows.append((*[r[c] for c in group_cols], gid, nt))
         for i in range(nt):
             for j in range(i, nt):
                 tp_rows.append((gid, i, j))
+        gid += 1
+
+    post = doc_tfidf(docs, n_docs=n_docs)
+    vecs = post.groupBy("doc_id").agg(
+        F.collect_list(F.struct("token", "tfidf")).alias("_tv")
+    )
+    paired = docs.select("doc_id", *group_cols)
+    for c in group_cols:
+        paired = paired.where(F.col(c).isNotNull())
+    gdocs = paired.join(vecs, "doc_id")
     gcols_ddl = ", ".join(
         f"{c} {t}" for c, t in docs.select(*group_cols).dtypes
     )

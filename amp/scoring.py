@@ -633,11 +633,58 @@ def score_pairs_onepass(
 
     w = cfg
 
+    def score_parts(
+        left_ids, right_ids, ls_m, rs_m, le_m, re_m,
+        l_blob, r_blob, l_stem, r_stem, lang_match,
+    ):
+        """The scoring math, shared verbatim by both transports (join
+        and gather) — inputs are already-aligned per-pair arrays."""
+        n = len(lang_match)
+        dots = np.zeros(n); coss = np.zeros(n); jac = np.zeros(n)
+        embc = np.zeros(n); jws = np.zeros(n); levs = np.zeros(n)
+        if n:
+            jac = (ls_m == rs_m).mean(axis=1)
+            den = np.linalg.norm(le_m, axis=1) * np.linalg.norm(re_m, axis=1)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                embc = np.where(
+                    den > 0, (le_m * re_m).sum(axis=1) / den, 0.0
+                )
+            # tf-idf dot/cosine: fully vectorized sorted-hash
+            # intersection over DISTINCT (l, r) blob pairs — bit-exact
+            # twin of the scalar per-pair searchsorted loop (see
+            # tfblob_dots_batch); no Python statement runs per pair
+            dots, coss = tfblob_dots_batch(l_blob, r_blob)
+            # batch-vectorized Jaro-Winkler + Levenshtein (bit-exact
+            # twin of the scalar functions; see stem_sims_batch)
+            jws, levs = stem_sims_batch(l_stem, r_stem)
+        score = (
+            coss * w.w_token_cosine
+            + jac * w.w_shingle_jaccard
+            + embc * w.w_emb_cosine
+            + jws * w.w_path_jw
+            + levs * w.w_path_lev
+            + lang_match * w.w_lang_match
+        )
+        return pd.DataFrame(
+            {
+                "left_id": left_ids,
+                "right_id": right_ids,
+                "tfidf_dot": dots,
+                "tfidf_cosine": coss,
+                "jaccard_est": jac,
+                "emb_cosine": embc,
+                "path_jw": jws,
+                "path_lev_sim": levs,
+                "lang_match": lang_match,
+                "score": score,
+                # reference clamp (matcher.go:208)
+                "score_100": np.clip(score * 100.0, 1.0, 100.0),
+            }
+        )
+
     def fn(batches):
         for pdf in batches:
             n = len(pdf)
-            dots = np.zeros(n); coss = np.zeros(n); jac = np.zeros(n)
-            embc = np.zeros(n); jws = np.zeros(n); levs = np.zeros(n)
             if n:
                 # fully-vectorized fixed-width features: signatures and
                 # embeddings stack to (n, k) matrices. Norms computed
@@ -645,53 +692,75 @@ def score_pairs_onepass(
                 # vectors (attach_embeddings) both score correctly.
                 ls_m = np.stack(pdf["l_sig"].values)
                 rs_m = np.stack(pdf["r_sig"].values)
-                jac = (ls_m == rs_m).mean(axis=1)
                 le_m = np.stack(pdf["l_emb"].values).astype(np.float64)
                 re_m = np.stack(pdf["r_emb"].values).astype(np.float64)
-                den = np.linalg.norm(le_m, axis=1) * np.linalg.norm(re_m, axis=1)
-                with np.errstate(invalid="ignore", divide="ignore"):
-                    embc = np.where(
-                        den > 0, (le_m * re_m).sum(axis=1) / den, 0.0
-                    )
-            # tf-idf dot/cosine: fully vectorized sorted-hash
-            # intersection over DISTINCT (l, r) blob pairs — bit-exact
-            # twin of the scalar per-pair searchsorted loop (see
-            # tfblob_dots_batch); no Python statement runs per pair
-            if n:
-                dots, coss = tfblob_dots_batch(
-                    pdf["l_tfblob"], pdf["r_tfblob"]
-                )
-            if n:
-                # batch-vectorized Jaro-Winkler + Levenshtein (bit-exact
-                # twin of the scalar functions; see stem_sims_batch)
-                jws, levs = stem_sims_batch(
-                    pdf["l_stem"].values, pdf["r_stem"].values
-                )
+            else:
+                ls_m = rs_m = le_m = re_m = np.zeros((0, 1))
             lang_match = (pdf["l_lang"] == pdf["r_lang"]).astype("float64").values
-            score = (
-                coss * w.w_token_cosine
-                + jac * w.w_shingle_jaccard
-                + embc * w.w_emb_cosine
-                + jws * w.w_path_jw
-                + levs * w.w_path_lev
-                + lang_match * w.w_lang_match
+            yield score_parts(
+                pdf["left_id"], pdf["right_id"], ls_m, rs_m, le_m, re_m,
+                pdf["l_tfblob"], pdf["r_tfblob"],
+                pdf["l_stem"].values, pdf["r_stem"].values, lang_match,
             )
-            yield pd.DataFrame(
-                {
-                    "left_id": pdf["left_id"],
-                    "right_id": pdf["right_id"],
-                    "tfidf_dot": dots,
-                    "tfidf_cosine": coss,
-                    "jaccard_est": jac,
-                    "emb_cosine": embc,
-                    "path_jw": jws,
-                    "path_lev_sim": levs,
-                    "lang_match": lang_match,
-                    "score": score,
-                    # reference clamp (matcher.go:208)
-                    "score_100": np.clip(score * 100.0, 1.0, 100.0),
-                }
-            )
+
+    if n_records is not None and n_records <= cfg.gather_sides_max_records:
+        # round-6 transport (guide §2.3 "shuffle keys, not payloads" +
+        # §4.1 "pass only the columns the function needs"): collect the
+        # record-sized side table ONCE, broadcast it as numpy stores,
+        # and stream BARE ID PAIRS into the same scoring kernel, which
+        # gathers payloads by index. Identical math (the inner fn is
+        # shared verbatim); only the transport changed — the two
+        # payload joins, their shuffles, and the 2x ~1 KB/pair Arrow
+        # serialization disappear. Inner-join semantics on missing ids
+        # are preserved by the mask below.
+        sp = sides.select(
+            "record_id", "stem", "lang", "sig", "embedding", "tfblob"
+        ).toPandas()
+        n_side = len(sp)
+        # contiguous matrices pickle/unpickle as single buffers (an
+        # object array of 168k tiny ndarrays costs seconds per worker);
+        # the stack here is also the one the kernel no longer does
+        stores = (
+            {r: i for i, r in enumerate(sp["record_id"])},
+            sp["stem"].to_numpy(),
+            sp["lang"].to_numpy(),
+            np.stack(sp["sig"].values) if n_side else np.zeros((0, 1)),
+            np.stack(sp["embedding"].values) if n_side else np.zeros((0, 1)),
+            sp["tfblob"].to_numpy(),
+        )
+        bc = pairs.sparkSession.sparkContext.broadcast(stores)
+
+        def gfn(batches):
+            idx_, stem_a, lang_a, sig_m, emb_m, blob_a = bc.value
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                li = np.fromiter(
+                    (idx_.get(i, -1) for i in pdf["left_id"]),
+                    np.int64, len(pdf),
+                )
+                ri = np.fromiter(
+                    (idx_.get(i, -1) for i in pdf["right_id"]),
+                    np.int64, len(pdf),
+                )
+                ok = (li >= 0) & (ri >= 0)
+                if not ok.all():
+                    pdf = pdf[ok]
+                    li, ri = li[ok], ri[ok]
+                if not len(pdf):
+                    continue
+                lang_match = (lang_a[li] == lang_a[ri]).astype("float64")
+                yield score_parts(
+                    pdf["left_id"].values, pdf["right_id"].values,
+                    sig_m[li], sig_m[ri],
+                    emb_m[li].astype(np.float64), emb_m[ri].astype(np.float64),
+                    pd.Series(blob_a[li]), pd.Series(blob_a[ri]),
+                    stem_a[li], stem_a[ri], lang_match,
+                )
+
+        return pairs.select("left_id", "right_id").mapInPandas(
+            gfn, SCORED_SCHEMA
+        )
 
     lhs = sides.select(
         F.col("record_id").alias("left_id"),

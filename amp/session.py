@@ -36,6 +36,21 @@ def shuffle_partitions_for(cpus: int, n_records: int) -> int:
     return max(8, 2 * cpus)
 
 
+def spread_to_cores(df):
+    """Round-robin repartition to the session's default parallelism when
+    the source scan yields fewer partitions — a small local corpus packs
+    into a handful of parquet splits and would otherwise run every
+    Python kernel at a fraction of the available cores. Scale-adaptive:
+    inputs that already scan wide are left untouched, so at cluster
+    scale this is a no-op; the repartition moves only the projected
+    columns. Deterministic under retries (sortBeforeRepartition is on
+    by default)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def get_spark(
     app_name: str = "amp",
     cpus: int | None = None,

@@ -398,3 +398,25 @@ def test_legacy_flat_checkpoint_resumes_and_upgrades(spark, tmp_path_factory):
         if not n.startswith("_v=")
     ]
     assert flat_leftovers == []
+
+
+def test_scorer_gather_transport_matches_join_transport(spark):
+    """The round-6 gather transport (broadcast payload stores + bare-id
+    pair stream) must produce EXACTLY the join transport's scored
+    table — same pairs, same doubles — since only the transport moved."""
+    import dataclasses
+
+    from amp.config import DEFAULT_CONFIG
+    from amp.datagen import gen_files
+    from amp.pipeline import run_pipeline
+
+    files = gen_files(spark, 80, partitions=4)
+    base = run_pipeline(spark, files)["scored"]
+    cfg_gather = dataclasses.replace(
+        DEFAULT_CONFIG, gather_sides_max_records=10**9
+    )
+    gathered = run_pipeline(spark, files, cfg=cfg_gather)["scored"]
+    cols = base.columns
+    a = sorted(tuple(r) for r in base.select(*cols).collect())
+    b = sorted(tuple(r) for r in gathered.select(*cols).collect())
+    assert a == b and len(a) > 0

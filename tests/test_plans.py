@@ -61,16 +61,41 @@ def test_no_unexpected_nested_loop_or_cartesian(plans):
 
 def test_ann_query_side_filter_pushed_to_scan(plans):
     # vec_id < 10 selection must reach the parquet reader, not a
-    # post-scan Filter over the full table
-    for name in ("ann_bruteforce_topk", "ann_lsh_topk", "ann_ivf_topk"):
+    # post-scan Filter over the full table (join-shaped ANN paths; the
+    # GEMM paths collect the query side in a separate pruned job and
+    # are gated below)
+    for name in ("ann_lsh_topk", "ann_ivf_topk"):
         plan = plans[name]
         assert "PushedFilters: [" in plan
         assert "LessThan(vec_id,10)" in plan.replace(" ", "").replace("\n", ""), name
 
 
 def test_ann_broadcasts_query_side(plans):
-    for name in ("ann_bruteforce_topk", "ann_lsh_topk", "match_provided_embedding_topk"):
+    for name in ("ann_lsh_topk",):
         assert "BroadcastExchange" in plans[name], name
+
+
+def test_ann_gemm_paths_stream_corpus_once(plans):
+    # round-6 shape for the exact scorers: the collected query matrix
+    # rides in a broadcast closure, the corpus streams straight into
+    # MapInPandas, and the ONLY Exchange in the plan is the top-k
+    # window's hashpartitioning over the narrow scored stream — the
+    # corpus itself never shuffles
+    import re
+
+    for name in ("ann_bruteforce_topk", "match_provided_embedding_topk"):
+        plan = plans[name]
+        assert "MapInPandas" in plan, name
+        data_exchanges = [
+            l for l in plan.splitlines()
+            if "Exchange" in l and "BroadcastExchange" not in l
+            # session.spread_to_cores' small-input round-robin is the
+            # documented local-parallelism spread (no-op at scale), not
+            # a corpus shuffle
+            and "RoundRobinPartitioning" not in l
+        ]
+        assert len(data_exchanges) == 1 and "query_id" in data_exchanges[0], (
+            name, data_exchanges)
 
 
 def test_scans_prune_columns(plans):
