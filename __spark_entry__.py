@@ -87,12 +87,20 @@ def _block_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     all (guide §2.4, remove shuffles outright). The null guard keeps
     the original semantics for null buckets: equality-join pass a drops
     them, so they must stay in pass b unconditionally."""
+    from amp.session import spread_to_cores
+
     d = _docs(spark, sf_dir)
-    l = d.select(
-        F.col("doc_id").alias("left_id"),
-        "lang",
-        "source",
-        F.floor(F.col("n_chars") / 100).alias("szb_l"),
+    # probe-side spread: the quadratic pair enumeration runs one task
+    # per probe partition, and the local corpus scans at ~12 row-group
+    # splits — spread the (tiny) probe rows so enumeration uses every
+    # core; no-op when the scan is already wide
+    l = spread_to_cores(
+        d.select(
+            F.col("doc_id").alias("left_id"),
+            "lang",
+            "source",
+            F.floor(F.col("n_chars") / 100).alias("szb_l"),
+        )
     )
     r = d.select(
         F.col("doc_id").alias("right_id"),

@@ -532,24 +532,33 @@ def doc_pair_dot_grouped(
         gid += 1
 
     post = doc_tfidf(docs, n_docs=n_docs)
-    vecs = post.groupBy("doc_id").agg(
-        F.collect_list(F.struct("token", "tfidf")).alias("_tv")
-    )
+    # single-Exchange tiling: the FLAT postings stream joins the tiny
+    # doc->(gid, tile) map (broadcast while doc-sized maps fit — same
+    # gate class as the vecs broadcast in doc_pair_dot) and groups
+    # straight into per-tile entry lists; the kernel rebuilds per-doc
+    # boundaries by a stable argsort on the entry doc_ids. This removes
+    # the per-doc collect_list shuffle the round-6 first cut paid
+    # before tiling (two vector shuffles -> one).
     paired = docs.select("doc_id", *group_cols)
     for c in group_cols:
         paired = paired.where(F.col(c).isNotNull())
-    gdocs = paired.join(vecs, "doc_id")
     gcols_ddl = ", ".join(
         f"{c} {t}" for c, t in docs.select(*group_cols).dtypes
     )
     gidtbl = spark.createDataFrame(gid_rows, f"{gcols_ddl}, _gid long, _nt long")
     tp = spark.createDataFrame(tp_rows, "_gid long, _ti long, _tj long")
+    docmap = (
+        paired.join(F.broadcast(gidtbl), list(group_cols))
+        .withColumn("_tile", F.pmod(F.xxhash64("doc_id"), F.col("_nt")))
+        .select("doc_id", "_gid", "_tile")
+    )
+    if n_docs <= 2_000_000:
+        docmap = F.broadcast(docmap)
 
     tiled = (
-        gdocs.join(F.broadcast(gidtbl), list(group_cols))
-        .withColumn("_tile", F.pmod(F.xxhash64("doc_id"), F.col("_nt")))
+        post.join(docmap, "doc_id")
         .groupBy("_gid", "_tile")
-        .agg(F.collect_list(F.struct("doc_id", "_tv")).alias("_recs"))
+        .agg(F.collect_list(F.struct("doc_id", "token", "tfidf")).alias("_recs"))
     )
     a = tiled.select("_gid", F.col("_tile").alias("_ti"), F.col("_recs").alias("_ra"))
     b = tiled.select("_gid", F.col("_tile").alias("_tj"), F.col("_recs").alias("_rb"))
@@ -569,14 +578,11 @@ def doc_pair_dot_grouped(
         offsets (never rebased — every index below is absolute, which
         stays correct for sliced parent arrays)."""
         r_off = col.offsets.to_numpy().astype(np.int64)
-        recs = col.values  # struct<doc_id, _tv>
-        ids = recs.field(0).to_numpy(zero_copy_only=False)
-        tv = recs.field(1)  # list<struct<token,tfidf>>
-        t_off = tv.offsets.to_numpy().astype(np.int64)
-        ent = tv.values
-        tok = ent.field(0)
-        val = ent.field(1).to_numpy(zero_copy_only=False)
-        return r_off, ids, t_off, tok, val
+        ent = col.values  # struct<doc_id, token, tfidf> (flat entries)
+        ids = ent.field(0).to_numpy(zero_copy_only=False)
+        tok = ent.field(1)
+        val = ent.field(2).to_numpy(zero_copy_only=False)
+        return r_off, ids, tok, val
 
     def kernel(batches):
         for batch in batches:
@@ -588,8 +594,8 @@ def doc_pair_dot_grouped(
                 batch.column(idx["_ti"]).to_numpy()
                 == batch.column(idx["_tj"]).to_numpy()
             )
-            a_roff, a_ids, a_toff, a_tok, a_val = _side(batch.column(idx["_ra"]))
-            b_roff, b_ids, b_toff, b_tok, b_val = _side(batch.column(idx["_rb"]))
+            a_roff, a_eids, a_tok, a_val = _side(batch.column(idx["_ra"]))
+            b_roff, b_eids, b_tok, b_val = _side(batch.column(idx["_rb"]))
             # ONE dictionary encode per batch over both full token child
             # arrays (exact string matching, C++ hash table)
             codes = (
@@ -610,33 +616,29 @@ def doc_pair_dot_grouped(
             a_codes = codes[: len(a_val)]
             b_codes = codes[len(a_val):]
 
+            def _tile_arrays(e0, e1, eids, codes_f, vals_f):
+                """One tile's flat entry slice -> per-doc grouping:
+                (sorted unique doc ids, per-entry local doc index,
+                entry codes/values) sorted by code for the merge."""
+                d_ids = eids[e0:e1]
+                order = np.argsort(d_ids, kind="stable")
+                ds = d_ids[order]
+                cs = codes_f[e0:e1][order]
+                vs = vals_f[e0:e1][order]
+                udocs = np.unique(ds)
+                dloc = np.searchsorted(udocs, ds)
+                co = np.argsort(cs, kind="stable")
+                return udocs, cs[co], vs[co], dloc[co]
+
             out_l, out_r, out_d = [], [], []
             for row in range(nrow):
-                # absolute doc ranges of this tile pair
-                ad0, ad1 = int(a_roff[row]), int(a_roff[row + 1])
-                bd0, bd1 = int(b_roff[row]), int(b_roff[row + 1])
-                n_a, n_b = ad1 - ad0, bd1 - bd0
-                if n_a == 0 or n_b == 0:
+                ae0, ae1 = int(a_roff[row]), int(a_roff[row + 1])
+                be0, be1 = int(b_roff[row]), int(b_roff[row + 1])
+                if ae1 == ae0 or be1 == be0:
                     continue
-                # absolute token-entry ranges
-                ae0, ae1 = int(a_toff[ad0]), int(a_toff[ad1])
-                be0, be1 = int(b_toff[bd0]), int(b_toff[bd1])
-                ac = a_codes[ae0:ae1]
-                av = a_val[ae0:ae1]
-                ad = np.repeat(
-                    np.arange(n_a, dtype=np.int64),
-                    np.diff(a_toff[ad0 : ad1 + 1]),
-                )
-                bc = b_codes[be0:be1]
-                bv = b_val[be0:be1]
-                bd = np.repeat(
-                    np.arange(n_b, dtype=np.int64),
-                    np.diff(b_toff[bd0 : bd1 + 1]),
-                )
-                ao = np.argsort(ac, kind="stable")
-                ac, av, ad = ac[ao], av[ao], ad[ao]
-                bo = np.argsort(bc, kind="stable")
-                bc, bv, bd = bc[bo], bv[bo], bd[bo]
+                a_ids_t, ac, av, ad = _tile_arrays(ae0, ae1, a_eids, a_codes, a_val)
+                b_ids_t, bc, bv, bd = _tile_arrays(be0, be1, b_eids, b_codes, b_val)
+                n_a, n_b = len(a_ids_t), len(b_ids_t)
                 ucodes = np.unique(np.concatenate([ac, bc]))
                 ast = np.searchsorted(ac, ucodes)
                 aen = np.searchsorted(ac, ucodes, side="right")
@@ -684,13 +686,13 @@ def doc_pair_dot_grouped(
                 mask = shr > 0
                 if same_tile[row]:
                     mask &= (
-                        a_ids[ad0:ad1, None] < b_ids[None, bd0:bd1]
+                        a_ids_t[:, None] < b_ids_t[None, :]
                     ).reshape(-1)
                 pk_hit = np.nonzero(mask)[0]
                 if not len(pk_hit):
                     continue
-                la = a_ids[ad0:ad1][pk_hit // n_b]
-                rb_ = b_ids[bd0:bd1][pk_hit % n_b]
+                la = a_ids_t[pk_hit // n_b]
+                rb_ = b_ids_t[pk_hit % n_b]
                 lo_first = la < rb_
                 out_l.append(np.where(lo_first, la, rb_))
                 out_r.append(np.where(lo_first, rb_, la))
