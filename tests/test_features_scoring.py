@@ -326,11 +326,22 @@ def test_doc_pair_dot_grouped_equals_pairwise(spark):
     }
     # tile_target=4 forces multi-tile groups (cross-tile + same-tile
     # kernel paths both exercised); chunk_elems=17 forces the chunked
-    # code-axis loop
+    # code-axis loop and dense_elems=0 disables the GEMM fast path so
+    # the open-vocabulary fallback stays covered
     got = {
         (x["left_id"], x["right_id"]): x["tfidf_dot"]
         for x in features.doc_pair_dot_grouped(
-            docs, ["lang", "source"], tile_target=4, chunk_elems=17
+            docs, ["lang", "source"], tile_target=4, chunk_elems=17,
+            dense_elems=0,
         ).collect()
     }
     assert got == want and len(got) > 20
+    # the dense-GEMM fast path (default gate) must produce the same
+    # rounded dots over the same pair set
+    got_gemm = {
+        (x["left_id"], x["right_id"]): x["tfidf_dot"]
+        for x in features.doc_pair_dot_grouped(
+            docs, ["lang", "source"], tile_target=4
+        ).collect()
+    }
+    assert got_gemm == want
