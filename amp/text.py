@@ -62,22 +62,81 @@ def _marker_hits(toks_ref: str, words: list[str]):
     )
 
 
+def _quality_counts(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_chars, n_tokens, n_punct, n_digit, stop_hits) — the
+    integer inputs of quality_score, from ONE Arrow-batched pass.
+
+    Round 6 (guide §1.2 per-task work, §4.2): the expression form ran
+    three separate Java-regex passes over every document plus five
+    token-array filter scans — measured ~120 executor-seconds for 50k
+    docs at sf1 density (~2.4 ms/doc of pure compute). Here a single
+    Python kernel tokenizes once and counts everything; only the
+    COUNTS cross the boundary — every ratio and the score stay the
+    exact Spark SQL expressions below, so the emitted doubles are
+    bit-identical. Count semantics are engine-portable on this
+    corpus contract (ASCII text, the same contract the oracle's
+    lower()/regex comparison already pins): `[^a-zA-Z0-9\\s]`,
+    `[0-9]` and the tokenizer split behave identically in Java, RE2
+    and Python `re` on ASCII, and len(text) == length(text) ==
+    F.length without astral-plane characters."""
+    import re
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    split = re.compile(TOKEN_SPLIT_RE).split
+    punct = re.compile("[^a-zA-Z0-9\\s]")
+    digit = re.compile("[0-9]")
+    markers = set(LANG_MARKERS["en"])
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n_chars, n_tokens, n_punct, n_digit, stop = [], [], [], [], []
+            for text in pdf["text"]:
+                t = text or ""
+                toks = [x for x in split(t.lower()) if x]
+                n_chars.append(len(t))
+                n_tokens.append(len(toks))
+                n_punct.append(len(punct.findall(t)))
+                n_digit.append(len(digit.findall(t)))
+                stop.append(sum(1 for x in toks if x in markers))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_chars_i": pd.array(n_chars, dtype="int64"),
+                    "n_tokens_i": pd.array(n_tokens, dtype="int64"),
+                    "n_punct_i": pd.array(n_punct, dtype="int64"),
+                    "n_digit_i": pd.array(n_digit, dtype="int64"),
+                    "stop_hits_i": pd.array(stop, dtype="int64"),
+                }
+            )
+
+    id_ddl = dict(docs.dtypes).get("doc_id", "long")
+    return docs.select("doc_id", "text").mapInPandas(
+        fn,
+        f"doc_id {id_ddl}, n_chars_i long, n_tokens_i long, n_punct_i long, "
+        "n_digit_i long, stop_hits_i long",
+    )
+
+
 def quality_score(docs: DataFrame) -> DataFrame:
     """Quality scoring: length/punctuation/stopword/digit ratios folded
-    into one [0,1] score. Tokenizes ONCE (materialized `toks` column);
-    stopword hits count token equality, not per-marker regex scans.
+    into one [0,1] score. Counts come from one Arrow pass
+    (_quality_counts); all ratio/score arithmetic is Spark SQL column
+    math over those counts — identical doubles to the old all-expression
+    plan, still a single scan with no shuffle.
     The exact weights are a heuristic; what matters for the engine is
     the shape: single-scan column math."""
-    d = docs.withColumn("toks", tokens_col())
-    n_chars = F.length("text").cast("double")
-    n_tokens = F.size("toks").cast("double")
-    punct_ratio = F.regexp_count(F.col("text"), F.lit("[^a-zA-Z0-9\\s]")).cast(
-        "double"
-    ) / F.greatest(n_chars, F.lit(1.0))
-    digit_ratio = F.regexp_count(F.col("text"), F.lit("[0-9]")).cast(
-        "double"
-    ) / F.greatest(n_chars, F.lit(1.0))
-    stop_hits = _marker_hits("toks", LANG_MARKERS["en"])
+    d = _quality_counts(docs)
+    n_chars = F.col("n_chars_i").cast("double")
+    n_tokens = F.col("n_tokens_i").cast("double")
+    punct_ratio = F.col("n_punct_i").cast("double") / F.greatest(
+        n_chars, F.lit(1.0)
+    )
+    digit_ratio = F.col("n_digit_i").cast("double") / F.greatest(
+        n_chars, F.lit(1.0)
+    )
+    stop_hits = F.col("stop_hits_i").cast("double")
     stop_ratio = stop_hits / F.greatest(n_tokens, F.lit(1.0))
     mean_tok_len = n_chars / F.greatest(n_tokens, F.lit(1.0))
     score = (
@@ -127,13 +186,50 @@ def fingerprints(docs: DataFrame) -> DataFrame:
                  insensitive exact dedup key);
     minhash_fp — lexicographic-min md5 over distinct tokens (1-perm
                  MinHash; near-dup key). Both engine and oracle use md5
-                 so the comparison is bit-exact."""
-    norm = F.concat_ws(" ", tokens_col())
-    toks = tokens_col()
-    return docs.select(
-        "doc_id",
-        F.sha2(norm, 256).alias("exact_fp"),
-        F.array_min(F.transform(toks, lambda t: F.md5(t))).alias("minhash_fp"),
+                 so the comparison is bit-exact.
+
+    Round 6 (guide §4.2, same rewrite as dedup.minhash_band_keys): one
+    Arrow-batched pass with hashlib + a per-worker token-md5 memo
+    replaces per-token JVM md5 expressions (the token vocabulary is
+    corpus-content-bounded and repeats across documents, so each
+    distinct token is hashed once per partition instead of once per
+    occurrence). hashlib digests of the identical UTF-8 bytes are the
+    identical lowercase hex; min over hex strings is byte order — the
+    emitted strings are bit-equal to the expression plan (oracle
+    hash-exact at sf0.001/0.01/0.1). Token-less docs keep the
+    expression semantics: exact_fp = sha256(''), minhash_fp = NULL."""
+    import re
+    from collections.abc import Iterator
+    from hashlib import md5 as _md5
+    from hashlib import sha256 as _sha256
+
+    import pandas as pd
+
+    split = re.compile(TOKEN_SPLIT_RE).split
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        memo: dict[str, str] = {}
+
+        def md5_of(t: str) -> str:
+            h = memo.get(t)
+            if h is None:
+                h = _md5(t.encode()).hexdigest()
+                memo[t] = h
+            return h
+
+        for pdf in batches:
+            exact, mh = [], []
+            for text in pdf["text"]:
+                toks = [x for x in split((text or "").lower()) if x]
+                exact.append(_sha256(" ".join(toks).encode()).hexdigest())
+                mh.append(min(map(md5_of, toks)) if toks else None)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "exact_fp": exact, "minhash_fp": mh}
+            )
+
+    id_ddl = dict(docs.dtypes).get("doc_id", "long")
+    return docs.select("doc_id", "text").mapInPandas(
+        fn, f"doc_id {id_ddl}, exact_fp string, minhash_fp string"
     )
 
 
